@@ -1,0 +1,25 @@
+"""polar_code_tpu — a TPU-native polar-code Monte-Carlo simulation and decoding framework.
+
+Built from scratch in JAX/XLA/Pallas with the capability surface of the
+reference `dl_scl_polar` package (see SURVEY.md): polar code construction,
+encoding, SC / CRC-aided SCL decoding, DL-SCL flip-retry with a learned
+symmetric β metric, NR-style rate-matched polar and LDPC comparison codecs,
+dataset generation, β training, and FER/BER sweep evaluation CLIs.
+
+Design stance (TPU-first, not a port):
+  * every per-frame Python loop in the reference becomes one jit-compiled
+    batched pipeline over a `[B]` frame axis,
+  * the SCL list axis (M ≤ 8) and code axis (N) live on-chip with the batch
+    in the TPU lane dimension,
+  * data-dependent control flow (CRC early exit, retries, stopping rules)
+    becomes masked fixed-trip device loops plus a host-side chunk controller,
+  * multi-chip scaling uses `jax.sharding.Mesh` over a `frames` axis with
+    psum-style counter aggregation.
+"""
+
+from . import config
+from .polar.construct import construct_info_set
+
+__version__ = "0.1.0"
+
+__all__ = ["config", "construct_info_set", "__version__"]

@@ -1,0 +1,230 @@
+"""DL-SCL bit-flip retry mechanics.
+
+Reference semantics: `dl_scl_polar/dlscl/flip.py` — rank info positions by
+Q = |L0|·β (fallback |L0|), build a forced-bit plan that fixes the prefix,
+flips the chosen bit and frees the rest, retry SCL, and *re-rank from the
+new best path's LLRs after every failed attempt*, excluding already-tried
+indices, stopping on CRC pass.  The final output is the last attempt's
+result whether or not it succeeded.
+
+Two implementations:
+
+* `decode_with_retries` — scalar host loop, reference-compatible signature
+  and return dict (for compat/tests).
+* `decode_with_retries_batch` — the TPU workhorse: one `lax.scan` over
+  retries+1 steps whose body is the batched SCL decoder with a forced-bit
+  plan tensor.  The baseline is step 0 with an all-free plan, so the whole
+  DL-SCL pipeline compiles to a single SCL graph iterated by the scan.
+  Per-frame early stop becomes an active mask; `attempts_used` reproduces
+  the reference's `len(attempts) - 1` work accounting.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.crc import check_crc
+from ..ops.scl import decode_scl_batch
+from ..polar import api as polar_api
+
+
+# ------------------------------------------------------------------
+# Scalar host API (reference-compatible)
+# ------------------------------------------------------------------
+
+def choose_flip_index(abs_l0: np.ndarray, beta: Optional[np.ndarray]) -> int:
+    """Choose flip index using the β metric (fallback to |L0| ordering)."""
+
+    abs_l0 = np.asarray(abs_l0)
+    if abs_l0.ndim != 1:
+        raise ValueError("abs_l0 must be a 1D array")
+    if abs_l0.size == 0:
+        raise ValueError("abs_l0 cannot be empty")
+    if beta is not None:
+        beta = np.asarray(beta)
+        if beta.ndim != 2 or beta.shape[0] != beta.shape[1] or beta.shape[0] != abs_l0.size:
+            raise ValueError("beta must be a square matrix matching abs_l0 length")
+        return int(np.argmin(abs_l0 @ beta))
+    return int(np.argmin(abs_l0))
+
+
+def _force_vector(best_path_bits: np.ndarray, flip_index: int) -> np.ndarray:
+    forced = np.full(best_path_bits.size, -1, dtype=np.int8)
+    forced[:flip_index] = best_path_bits[:flip_index]
+    forced[flip_index] = 1 - best_path_bits[flip_index]
+    return forced
+
+
+def retry_with_flip(
+    llr_root: np.ndarray,
+    info_set: np.ndarray,
+    M: int,
+    best_path_bits: np.ndarray,
+    flip_index: int,
+    crc: Optional[str] = None,
+) -> dict:
+    """Retry SCL decoding with the specified info bit flipped."""
+
+    best_path_bits = np.asarray(best_path_bits)
+    if best_path_bits.ndim != 1:
+        raise ValueError("best_path_bits must be 1D")
+    if flip_index < 0 or flip_index >= best_path_bits.size:
+        raise IndexError("flip_index out of range")
+    forced = _force_vector(best_path_bits, flip_index)
+    result = polar_api.decode_scl(llr_root, info_set, M, crc=crc, force_info_bits=forced)
+    result["forced_info_bits"] = forced
+    result["flip_index"] = flip_index
+    return result
+
+
+def decode_with_retries(
+    llr_root: np.ndarray,
+    info_set: np.ndarray,
+    M: int,
+    retries: int,
+    *,
+    crc: Optional[str] = None,
+    beta: Optional[np.ndarray] = None,
+) -> dict:
+    """Baseline SCL followed by up to ``retries`` β-ranked flip attempts."""
+
+    attempts: List[dict] = []
+    baseline = polar_api.decode_scl(llr_root, info_set, M, crc=crc)
+    attempts.append({**baseline, "attempt_type": "baseline"})
+    best_output = baseline
+
+    def _passes(output: dict) -> bool:
+        bits = output.get("best_path_bits")
+        if bits is None:
+            return False
+        if crc is None:
+            return True
+        return check_crc(bits, crc)
+
+    if _passes(baseline) or retries <= 0:
+        return {**best_output, "attempts": attempts, "tried_indices": [], "success": _passes(best_output)}
+
+    reference_bits = baseline["best_path_bits"]
+    reference_llrs = baseline["best_path_info_llrs"]
+    if reference_bits is None or reference_llrs is None:
+        raise ValueError("Baseline decode did not produce candidate bits/LLRs")
+    abs_l0 = np.abs(np.asarray(reference_llrs, dtype=float))
+
+    tried: List[int] = []
+    while len(tried) < retries and len(tried) < abs_l0.size:
+        q = abs_l0 @ beta if beta is not None else abs_l0
+        order = np.argsort(q)
+        idx = next((int(i) for i in order if int(i) not in tried), None)
+        if idx is None:
+            break
+        tried.append(idx)
+        retry_result = retry_with_flip(llr_root, info_set, M, reference_bits, flip_index=idx, crc=crc)
+        attempts.append({**retry_result, "attempt_type": "flip"})
+        best_output = retry_result
+        if retry_result.get("best_path_bits") is not None:
+            reference_bits = retry_result["best_path_bits"]
+        if retry_result.get("best_path_info_llrs") is not None:
+            reference_llrs = retry_result["best_path_info_llrs"]
+        abs_l0 = np.abs(np.asarray(reference_llrs, dtype=float))
+        if _passes(retry_result):
+            break
+
+    return {**best_output, "attempts": attempts, "tried_indices": tried, "success": _passes(best_output)}
+
+
+# ------------------------------------------------------------------
+# Batched device implementation
+# ------------------------------------------------------------------
+
+def decode_with_retries_batch(
+    llr: jnp.ndarray,
+    info_set,
+    M: int,
+    retries: int,
+    *,
+    crc: str,
+    beta: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> dict:
+    """Batched DL-SCL: baseline + masked flip retries in one scanned graph.
+
+    llr: [B, N].  Returns a dict of arrays:
+      best_path_bits  int8 [B, K] — final output bits (last attempt's best)
+      success         bool [B]    — CRC passed within the retry budget
+      attempts_used   int32 [B]   — flip attempts executed (reference
+                                    `len(attempts) - 1`)
+      baseline_pass   bool [B]    — baseline SCL already passed the CRC
+      baseline_bits   int8 [B, K] — baseline SCL best path (so one call
+                                    serves both the SCL and DL-SCL arms of
+                                    the FER sweep)
+    """
+
+    if crc is None:
+        raise ValueError("decode_with_retries_batch requires a CRC polynomial")
+    info_np = np.asarray(info_set)
+    B = int(llr.shape[0])
+    K = int(info_np.size)
+    if retries >= K:
+        raise ValueError("retries must be < K")
+    beta_arr = jnp.asarray(beta, dtype) if beta is not None else None
+    pos = jnp.arange(K)[None, :]
+
+    def body(carry, t):
+        done, best_bits, best_llrs, tried, attempts, base_pass, base_bits = carry
+        is_baseline = t == 0
+
+        abs_l0 = jnp.abs(best_llrs)  # [B, K]
+        q = abs_l0 @ beta_arr if beta_arr is not None else abs_l0
+        q = jnp.where(tried, jnp.inf, q)
+        idx = jnp.argmin(q, axis=1)  # [B] — first untried index in rank order
+        flip_bit = (1 - jnp.take_along_axis(best_bits, idx[:, None], axis=1)).astype(jnp.int8)
+        forced = jnp.where(pos < idx[:, None], best_bits, jnp.int8(-1))
+        forced = jnp.where(pos == idx[:, None], flip_bit, forced)
+        forced = jnp.where(is_baseline, jnp.full_like(forced, -1), forced)
+
+        res = decode_scl_batch(llr, info_np, M, crc, force_info_bits=forced, dtype=dtype)
+
+        active = jnp.logical_or(is_baseline, ~done)  # [B]
+        upd = active[:, None]
+        best_bits = jnp.where(upd, res.best_path_bits, best_bits)
+        best_llrs = jnp.where(upd, res.best_path_info_llrs, best_llrs)
+        tried = tried | (upd & (pos == idx[:, None]) & ~is_baseline)
+        attempts = attempts + (active & ~is_baseline).astype(jnp.int32)
+        done = jnp.where(active, res.crc_pass, done)
+        base_pass = jnp.where(is_baseline, res.crc_pass, base_pass)
+        base_bits = jnp.where(is_baseline, res.best_path_bits, base_bits)
+        return (done, best_bits, best_llrs, tried, attempts, base_pass, base_bits), None
+
+    init = (
+        jnp.zeros((B,), bool),
+        jnp.zeros((B, K), jnp.int8),
+        jnp.zeros((B, K), dtype),
+        jnp.zeros((B, K), bool),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), bool),
+        jnp.zeros((B, K), jnp.int8),
+    )
+    (done, best_bits, best_llrs, tried, attempts, base_pass, base_bits), _ = jax.lax.scan(
+        body, init, jnp.arange(retries + 1)
+    )
+    return {
+        "best_path_bits": best_bits,
+        "best_path_info_llrs": best_llrs,
+        "success": done,
+        "attempts_used": attempts,
+        "baseline_pass": base_pass,
+        "baseline_bits": base_bits,
+        "tried": tried,
+    }
+
+
+__all__ = [
+    "choose_flip_index",
+    "retry_with_flip",
+    "decode_with_retries",
+    "decode_with_retries_batch",
+]

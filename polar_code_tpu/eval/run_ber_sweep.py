@@ -1,0 +1,196 @@
+"""Unified BER/FER sweep CLI across coding schemes.
+
+Work-alike of `dl_scl_polar/eval/run_ber_sweep.py`: same four schemes
+(`polar_scl`, `dl_scl`, `nr_polar_scl`, `nr_ldpc`), flags, payload-only BER
+accounting, `avg_work` semantics (DL-SCL retries / LDPC iterations), CSV
+schema and optional plot.  The per-frame while-loop becomes a host-side
+stopping-rule controller over jit-compiled device chunks: simulate a batch,
+pull back five scalar counters, repeat until `bit_errors ≥ err_cap` or
+`bits_total ≥ bits_cap` (caps may overshoot by at most one chunk, as the
+reference overshoots by one frame).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from .. import config as global_config
+from ..nr.ldpc import build_h_matrix, load_base_graph
+from ..parallel.mesh import frames_mesh, maybe_distributed_init
+from ..polar.construct import construct_info_set
+from ..sim.pipeline import make_ber_chunk
+from ..utils.seeding import fold_key, make_key, seed_all
+
+
+def _noise_var(EbN0_dB: float, payload_bits: int, coded_bits: int) -> float:
+    # Es/N0 = Eb/N0 · (K_payload/E): CRC bits count as overhead
+    # (reference eval/run_ber_sweep.py:105-109).
+    ebno_lin = 10 ** (EbN0_dB / 10.0)
+    esn0_lin = ebno_lin * (payload_bits / coded_bits)
+    return 1.0 / (2.0 * esn0_lin)
+
+
+def run(args: argparse.Namespace) -> List[Dict[str, float]]:
+    import jax
+
+    seed_all(args.seed)
+    maybe_distributed_init()
+
+    N = args.N if args.N is not None else args.E
+    K_total = args.K_payload + args.K_crc
+    info_set = None
+    H = None
+    params_label = ""
+
+    if args.scheme in {"polar_scl", "dl_scl", "nr_polar_scl"}:
+        info_set = construct_info_set(N, K_total)
+
+    if args.scheme == "polar_scl":
+        params_label = f"M={args.M}"
+    elif args.scheme == "dl_scl":
+        params_label = f"M={args.M},retries={args.retries}"
+    elif args.scheme == "nr_polar_scl":
+        params_label = f"M={args.M},ilv={args.ilv_mode}"
+    elif args.scheme == "nr_ldpc":
+        bg = load_base_graph(args.bg)
+        H = build_h_matrix(bg, args.Z)
+        k = H.shape[1] - H.shape[0]
+        if k != K_total:
+            raise ValueError("LDPC payload+CRC size mismatch with base graph")
+        params_label = f"bg={args.bg},Z={args.Z},iter={args.max_iter},alpha={args.alpha}"
+    else:
+        raise ValueError(f"Unsupported scheme: {args.scheme}")
+
+    beta = np.load(args.beta) if args.beta else None
+
+    n_dev = len(jax.devices())
+    mesh = frames_mesh() if n_dev > 1 else None
+    batch = max(n_dev, (args.batch // n_dev) * n_dev)
+
+    chunk_fn = make_ber_chunk(
+        scheme=args.scheme, E=args.E, N=N, K_payload=args.K_payload,
+        K_crc=args.K_crc, crc_poly=args.crc_poly, info_set=info_set,
+        M=args.M, retries=args.retries, beta=beta, ilv_mode=args.ilv_mode,
+        H=H, max_iter=args.max_iter, alpha=args.alpha, batch=batch, mesh=mesh,
+    )
+    root_key = make_key(args.seed)
+
+    EbN0_values = np.arange(args.EbN0_lo, args.EbN0_hi + 1e-12, args.EbN0_step)
+    rows: List[Dict[str, float]] = []
+
+    for point_idx, EbN0_dB in enumerate(EbN0_values):
+        nv = _noise_var(float(EbN0_dB), args.K_payload, args.E)
+        acc = {"bit_errors": 0, "frame_errors": 0, "bits_total": 0, "frames": 0, "work_sum": 0.0}
+        chunk_idx = 0
+        while acc["bit_errors"] < args.err_cap and acc["bits_total"] < args.bits_cap:
+            key = fold_key(root_key, point_idx, chunk_idx)
+            out = jax.device_get(chunk_fn(key, nv))
+            for k in acc:
+                acc[k] += float(out[k]) if k == "work_sum" else int(out[k])
+            chunk_idx += 1
+
+        ber = acc["bit_errors"] / acc["bits_total"] if acc["bits_total"] else float("nan")
+        fer = acc["frame_errors"] / acc["frames"] if acc["frames"] else float("nan")
+        avg_work = acc["work_sum"] / acc["frames"] if acc["frames"] else 0.0
+        rows.append({
+            "scheme": args.scheme,
+            "code": args.scheme,
+            "N_or_E": args.E,
+            "K_payload": args.K_payload,
+            "K_crc": args.K_crc,
+            "rate": args.K_payload / args.E,
+            "params": params_label,
+            "EbN0_dB": float(EbN0_dB),
+            "bits_total": acc["bits_total"],
+            "bit_errors": acc["bit_errors"],
+            "ber": ber,
+            "fer": fer,
+            "avg_work": avg_work,
+        })
+    return rows
+
+
+def write_csv(rows: List[Dict[str, float]], path: Path) -> None:
+    if not rows:
+        return
+    header = [
+        "scheme", "code", "N_or_E", "K_payload", "K_crc", "rate", "params",
+        "EbN0_dB", "bits_total", "bit_errors", "ber", "fer", "avg_work",
+    ]
+    with path.open("w") as f:
+        f.write(",".join(header) + "\n")
+        for row in rows:
+            f.write(",".join(str(row[col]) for col in header) + "\n")
+
+
+def plot_rows(rows: List[Dict[str, float]], path: Path) -> None:
+    if not rows:
+        return
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows_sorted = sorted(rows, key=lambda r: r["EbN0_dB"])
+    snrs = [r["EbN0_dB"] for r in rows_sorted]
+    plt.figure(figsize=(6, 4))
+    plt.semilogy(snrs, [r["ber"] for r in rows_sorted], "o-", label="BER")
+    plt.semilogy(snrs, [r["fer"] for r in rows_sorted], "s-", label="FER")
+    plt.xlabel("Eb/N0 (dB)")
+    plt.ylabel("Error Rate")
+    plt.grid(True, which="both", ls="--", alpha=0.4)
+    plt.legend()
+    plt.tight_layout()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    plt.savefig(path, dpi=200)
+    plt.close()
+
+
+def parse_args(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="BER/FER sweep across schemes")
+    parser.add_argument("--scheme", required=True, choices=["polar_scl", "dl_scl", "nr_polar_scl", "nr_ldpc"], help="Coding scheme")
+    parser.add_argument("--K_payload", type=int, required=True, help="Payload bits per frame")
+    parser.add_argument("--K_crc", type=int, required=True, help="CRC bits per frame")
+    parser.add_argument("--E", type=int, required=True, help="Coded bits transmitted")
+    parser.add_argument("--N", type=int, help="Polar length before rate match (defaults to E)")
+    parser.add_argument("--crc_poly", type=str, default=global_config.DEFAULTS.crc_poly)
+    parser.add_argument("--M", type=int, default=4, help="List size for polar decoders")
+    parser.add_argument("--retries", type=int, default=8, help="Retries for DL-SCL")
+    parser.add_argument("--beta", type=str, help="Path to beta matrix (DL-SCL)")
+    parser.add_argument("--ilv_mode", type=str, default="default")
+    parser.add_argument("--bg", type=int, default=2, help="LDPC base graph")
+    parser.add_argument("--Z", type=int, default=2, help="LDPC lifting size")
+    parser.add_argument("--max_iter", type=int, default=20)
+    parser.add_argument("--alpha", type=float, default=0.8)
+    parser.add_argument("--EbN0_lo", type=float, required=True)
+    parser.add_argument("--EbN0_hi", type=float, required=True)
+    parser.add_argument("--EbN0_step", type=float, default=0.5)
+    parser.add_argument("--bits_cap", type=float, default=1e7)
+    parser.add_argument("--err_cap", type=int, default=1000)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", type=str, required=True, help="CSV output path")
+    parser.add_argument("--plot", type=str, help="Optional plot path")
+    parser.add_argument("--batch", type=int, default=2048, help="Frames per device chunk")
+    args = parser.parse_args(list(argv) if argv is not None else None)
+
+    if args.scheme == "dl_scl" and not args.beta:
+        raise ValueError("--beta is required for dl_scl scheme")
+    return args
+
+
+def main(argv: Optional[Iterable[str]] = None) -> None:
+    args = parse_args(argv)
+    rows = run(args)
+    out_path = Path(args.out)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    write_csv(rows, out_path)
+    if args.plot:
+        plot_rows(rows, Path(args.plot))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Batched successive-cancellation (SC) decoder.
+
+Reference semantics: `dl_scl_polar/polar/polar.py:122-168` — min-sum f,
+exact g, recursive descent of the factor tree, frozen→0, info→(llr<0),
+partial-sum combine `left^right ‖ right`.
+
+TPU-native form: the recursion is unrolled at *trace* time (the tree has
+2N−1 nodes with static shapes), so the compiled program is a straight-line
+chain of vectorized f/g/XOR ops.  All arrays are laid out batch-last
+([segment, B]) so the batch rides the TPU lane dimension even when segments
+shrink to length 1; the public API is batch-first.
+
+The sequential leaf order is inherent to SC (data dependence) — all
+parallelism comes from the batch axis.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..polar.construct import frozen_mask as _frozen_mask
+
+
+def f_minsum(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Min-sum check-node update: sign(a)·sign(b)·min(|a|,|b|)."""
+
+    return jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+
+
+def g_update(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Variable-node update: b + (1−2c)·a with partial sums c."""
+
+    return b + (1.0 - 2.0 * c.astype(a.dtype)) * a
+
+
+def sc_decode_batch(
+    llr: jnp.ndarray,
+    info_set: np.ndarray,
+    *,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Decode a batch of channel LLRs.  llr: [B, N] → info bits [B, K] int8."""
+
+    B, N = int(llr.shape[0]), int(llr.shape[1])
+    n = int(math.log2(N))
+    if 1 << n != N:
+        raise ValueError("N must be a power of two")
+    frozen = _frozen_mask(N, info_set)
+
+    u_leaves: List[jnp.ndarray] = [None] * N  # each [1, B] int8
+
+    def decode_segment(seg_llr: jnp.ndarray, depth: int, start: int) -> jnp.ndarray:
+        # seg_llr: [2^depth, B]; returns partial sums x̂ of the segment.
+        if depth == 0:
+            if frozen[start]:
+                bit = jnp.zeros_like(seg_llr, dtype=jnp.int8)
+            else:
+                bit = (seg_llr < 0).astype(jnp.int8)
+            u_leaves[start] = bit
+            return bit
+        half = 1 << (depth - 1)
+        a, b = seg_llr[:half], seg_llr[half:]
+        left_bits = decode_segment(f_minsum(a, b), depth - 1, start)
+        right_bits = decode_segment(g_update(a, b, left_bits), depth - 1, start + half)
+        return jnp.concatenate([left_bits ^ right_bits, right_bits], axis=0)
+
+    decode_segment(llr.T.astype(dtype), n, 0)
+    u_info = jnp.concatenate([u_leaves[int(i)] for i in np.asarray(info_set)], axis=0)
+    return u_info.T  # [B, K]
+
+
+def sc_decode(llr: np.ndarray, info_set: np.ndarray) -> np.ndarray:
+    """Scalar reference-compatible API: 1D llr → info bits (int8)."""
+
+    llr = np.asarray(llr)
+    if llr.ndim != 1:
+        raise ValueError("llr must be 1D")
+    info_set = np.asarray(info_set)
+    if info_set.ndim != 1:
+        raise ValueError("info_set must be 1D")
+    if np.any(info_set < 0) or np.any(info_set >= llr.size):
+        raise ValueError("info_set indices out of range")
+    out = jax.jit(sc_decode_batch, static_argnames=("info_set",))(
+        jnp.asarray(llr)[None, :], tuple(int(i) for i in info_set)
+    )
+    return np.asarray(out[0], dtype=np.int8)
+
+
+__all__ = ["sc_decode_batch", "sc_decode", "f_minsum", "g_update"]

@@ -1,0 +1,68 @@
+"""Device-mesh scale-out for Monte-Carlo sweeps.
+
+The reference is strictly single-threaded (`dl_scl_polar/utils/seeding.py:8,18`);
+this tier is new.  The workload is embarrassingly parallel over frames, so the
+design is simple and rides entirely on XLA's SPMD partitioner:
+
+* a 1-D `Mesh` over all devices with a ``frames`` axis (optionally a 2-D
+  ``(snr, frames)`` mesh when sweeping several Eb/N0 points concurrently);
+* batched pipelines annotate their frame-major arrays with
+  `with_sharding_constraint(P("frames", ...))` — every decode op partitions
+  cleanly because all state tensors carry the batch in the trailing/leading
+  axis and never mix frames;
+* the only cross-device communication is the final counter reduction
+  (`jnp.sum` over the sharded batch axis → an XLA `all-reduce` over ICI),
+  a few scalars per chunk;
+* multi-host runs call `jax.distributed.initialize` (`maybe_distributed_init`)
+  and use the same code path over the global device set, with counters
+  reduced across DCN at chunk boundaries.
+
+Determinism: random draws derive from `fold_key(root, snr_tag, chunk_idx)`
+and JAX's partitionable threefry, so results are independent of the mesh
+shape for a fixed chunk size.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def local_mesh_devices(max_devices: Optional[int] = None) -> Sequence[jax.Device]:
+    devices = jax.devices()
+    if max_devices is not None:
+        devices = devices[:max_devices]
+    return devices
+
+
+def frames_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh with a `frames` data-parallel axis over the device set."""
+
+    devices = local_mesh_devices(num_devices)
+    return Mesh(devices, axis_names=("frames",))
+
+
+def shard_frames(x, mesh: Optional[Mesh], axis: int = 0):
+    """Constrain `x` to be sharded along its frame axis on `mesh`."""
+
+    if mesh is None or len(mesh.devices.flat) <= 1:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = "frames"
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def maybe_distributed_init() -> None:
+    """Initialize multi-host JAX when launched under a pod/cluster runtime.
+
+    No-op in single-process runs; controlled by standard cluster env vars.
+    """
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+__all__ = ["frames_mesh", "shard_frames", "local_mesh_devices", "maybe_distributed_init"]

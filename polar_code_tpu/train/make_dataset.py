@@ -1,0 +1,157 @@
+"""Dataset generation for β flip-metric training.
+
+Work-alike of `dl_scl_polar/train/make_dataset.py`: transmit the all-zero
+payload codeword at the given Eb/N0, keep frames where baseline SCL fails
+the CRC, and label each with the first flip index (in ascending-|L0| order,
+≤ 8 attempts) whose forced retry recovers the true info word.  Same `.npz`
+shard schema (`abs_l0` f32[S,K], `flip_idx` i32[S], `meta` json).
+
+TPU-native form: frames are simulated in device batches; the oracle search
+is a `lax.scan` over the 8 attempts whose body is the batched forced-SCL
+decoder with per-frame masks — the nested decode-inside-decode loop of the
+reference becomes one compiled graph.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+from .. import config
+from ..channel import awgn_llr, bpsk, noise_var_coded
+from ..ops.crc import attach_crc
+from ..ops.scl import decode_scl_batch
+from ..polar.api import encode
+from ..polar.construct import construct_info_set
+from ..utils.seeding import fold_key, make_key, seed_all
+
+
+def _make_oracle_chunk(cfg, info_set, M: int, batch: int, max_attempts: int):
+    import jax
+    import jax.numpy as jnp
+
+    info_np = np.asarray(info_set)
+    K = int(info_np.size)
+    payload = np.zeros(cfg.K - cfg.crc_bits, dtype=np.int8)
+    info_bits = attach_crc(payload, cfg.crc_poly)
+    code = encode(info_bits)
+    symbols = jnp.asarray(1.0 - 2.0 * code.astype(np.float32))
+    info_vec = jnp.asarray(info_bits.astype(np.int32))
+    pos = jnp.arange(K)[None, :]
+
+    def chunk(key, noise_var):
+        llr = awgn_llr(key, jnp.broadcast_to(symbols, (batch, cfg.N)), noise_var)
+        base = decode_scl_batch(llr, info_np, M, cfg.crc_poly)
+        fail = ~base.crc_pass
+        abs_l0 = jnp.abs(base.best_path_info_llrs)  # [B, K]
+        order = jnp.argsort(abs_l0, axis=1)
+        best_bits = base.best_path_bits
+
+        def body(carry, j):
+            found, label = carry
+            idx = order[:, j]
+            flip_bit = (1 - jnp.take_along_axis(best_bits, idx[:, None], axis=1)).astype(jnp.int8)
+            forced = jnp.where(pos < idx[:, None], best_bits, jnp.int8(-1))
+            forced = jnp.where(pos == idx[:, None], flip_bit, forced)
+            res = decode_scl_batch(
+                llr, info_np, M, cfg.crc_poly, force_info_bits=forced
+            )
+            ok = res.crc_pass & jnp.all(
+                res.best_path_bits.astype(jnp.int32) == info_vec[None, :], axis=1
+            )
+            newly = ~found & ok
+            label = jnp.where(newly, idx, label)
+            return (found | ok, label), None
+
+        (found, label), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((batch,), bool), jnp.zeros((batch,), jnp.int32)),
+            jnp.arange(max_attempts),
+        )
+        return {
+            "fail": fail,
+            "labeled": fail & found,
+            "label": label,
+            "abs_l0": abs_l0.astype(jnp.float32),
+        }
+
+    return jax.jit(chunk)
+
+
+def generate_samples(args: argparse.Namespace) -> None:
+    import jax
+
+    cfg = config.get_config()
+    seed_all(args.seed)
+    info_set = construct_info_set(cfg.N, cfg.K)
+    noise_var = noise_var_coded(args.snr_db, cfg.K, cfg.N)
+
+    batch = min(args.batch, max(args.frames, 1))
+    max_attempts = min(8, cfg.K)
+    chunk_fn = _make_oracle_chunk(cfg, info_set, args.M, batch, max_attempts)
+    root_key = make_key(args.seed)
+
+    abs_l0_samples: List[np.ndarray] = []
+    labels: List[int] = []
+    failures = 0
+    frames_done = 0
+    chunk_idx = 0
+    while frames_done < args.frames:
+        out = jax.device_get(chunk_fn(fold_key(root_key, chunk_idx), noise_var))
+        take = min(batch, args.frames - frames_done)
+        fail = out["fail"][:take]
+        labeled = out["labeled"][:take]
+        failures += int(np.sum(fail & ~labeled))
+        sel = np.where(labeled)[0]
+        for i in sel:
+            abs_l0_samples.append(out["abs_l0"][i])
+            labels.append(int(out["label"][i]))
+        frames_done += take
+        chunk_idx += 1
+
+    if not abs_l0_samples:
+        raise RuntimeError("No samples collected; consider increasing frames or SNR")
+
+    abs_array = np.stack(abs_l0_samples).astype(np.float32)
+    label_array = np.asarray(labels, dtype=np.int32)
+    meta = {
+        "M": args.M,
+        "EbN0_dB": args.snr_db,
+        "seed": args.seed,
+        "frames": args.frames,
+        "crc_poly": cfg.crc_poly,
+        "crc_bits": cfg.crc_bits,
+        "samples": int(label_array.size),
+        "failures": int(failures),
+    }
+
+    out_path = Path(args.out)
+    out_dir = out_path.parent if out_path.parent != Path("") else Path(".")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    shard = out_dir / f"{out_path.name}_part0.npz"
+    np.savez_compressed(shard, abs_l0=abs_array, flip_idx=label_array, meta=json.dumps(meta))
+    print(f"Saved {label_array.size} samples to {shard}")
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Generate DL-SCL flip dataset")
+    parser.add_argument("--M", type=int, required=True, help="SCL list size")
+    parser.add_argument("--snr_db", type=float, default=5.0, help="AWGN Eb/N0 in dB")
+    parser.add_argument("--frames", type=int, default=100000, help="Number of frames to simulate")
+    parser.add_argument("--seed", type=int, default=0, help="RNG seed")
+    parser.add_argument("--out", type=str, required=True, help="Output prefix for dataset shards")
+    parser.add_argument("--batch", type=int, default=4096, help="Frames per device chunk")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_argparser().parse_args(argv)
+    generate_samples(args)
+
+
+if __name__ == "__main__":
+    main()
