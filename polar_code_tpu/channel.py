@@ -12,7 +12,6 @@ LLR for BPSK(0→+1, 1→−1) over AWGN: llr = 2y/σ².
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
@@ -40,12 +39,17 @@ def noise_var_uncoded(ebno_db: float) -> float:
 def awgn_llr(
     key: jax.Array,
     symbols: jnp.ndarray,
-    noise_var: float,
+    noise_var,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Add AWGN at σ²=noise_var and return channel LLRs (2y/σ²)."""
+    """Add AWGN at σ²=noise_var and return channel LLRs (2y/σ²).
 
-    sigma = math.sqrt(noise_var)
+    noise_var may be a Python float or a traced scalar (so one compilation
+    serves a whole Eb/N0 sweep).
+    """
+
+    noise_var = jnp.asarray(noise_var, dtype)
+    sigma = jnp.sqrt(noise_var)
     noise = sigma * jax.random.normal(key, symbols.shape, dtype=dtype)
     received = symbols.astype(dtype) + noise
     return (2.0 / noise_var) * received

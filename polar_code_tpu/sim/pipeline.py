@@ -88,7 +88,7 @@ def make_fer_chunk(
             "dl_errors": jnp.sum(~dl["success"]),
             "scl_bit_errors": scl_bit_err,
             "dl_bit_errors": dl_bit_err,
-            "bits_coded": jnp.asarray(batch * K, jnp.int64),
+            "bits_coded": jnp.asarray(batch * K, jnp.int32),
             "retries_used": jnp.sum(dl["attempts_used"]),
         }
         if include_uncoded:
@@ -98,7 +98,7 @@ def make_fer_chunk(
             unc_errs = jnp.sum(unc_dec.astype(jnp.int32) != payload.astype(jnp.int32), axis=1)
             out["uncoded_errors"] = jnp.sum(unc_errs > 0)
             out["uncoded_bit_errors"] = jnp.sum(unc_errs)
-            out["bits_uncoded"] = jnp.asarray(batch * payload_bits, jnp.int64)
+            out["bits_uncoded"] = jnp.asarray(batch * payload_bits, jnp.int32)
         return out
 
     return jax.jit(chunk)
@@ -188,8 +188,8 @@ def make_ber_chunk(
         return {
             "bit_errors": jnp.sum(frame_bit_errs),
             "frame_errors": jnp.sum(frame_bit_errs > 0),
-            "bits_total": jnp.asarray(batch * K_payload, jnp.int64),
-            "frames": jnp.asarray(batch, jnp.int64),
+            "bits_total": jnp.asarray(batch * K_payload, jnp.int32),
+            "frames": jnp.asarray(batch, jnp.int32),
             "work_sum": jnp.sum(work),
         }
 
