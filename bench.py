@@ -2,11 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Protocol: one jit-compiled Monte-Carlo step (payload → CRC-24 → polar
+encode → BPSK → AWGN at 5 dB → SCL(M=8) decode → CRC select) generated
+on-device with a fresh PRNG key per step, so no step can be served from a
+cache.  Throughput counts decoded frames, matching the reference's
+`decode_scl` work per frame.
+
 Baseline: the reference implementation (`/root/reference`, single-threaded
 NumPy `decode_scl`) measured on this machine's CPU at 4.73 frames/s for
-M=8 P(128,64) (40-frame steady-state timing, 2026-08-17; see
-tools/time_reference.py to re-measure).  `vs_baseline` is the speedup over
-that number, i.e. the BASELINE.json "≥100× decoded frames/s" target metric.
+M=8 P(128,64) (40-frame steady-state timing, 2026-08-17; re-measure with
+tools/time_reference.py).  `vs_baseline` is the speedup over that number —
+the BASELINE.json "≥100× decoded frames/s" target metric.
 """
 
 from __future__ import annotations
@@ -15,56 +21,59 @@ import argparse
 import json
 import time
 
-import numpy as np
-
 REF_CPU_M8_FPS = 4.73  # reference decode_scl, M=8, P(128,64), 1 CPU thread
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=8192)
+    parser.add_argument("--batch", type=int, default=32768)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--M", type=int, default=8)
+    parser.add_argument("--snr_db", type=float, default=5.0)
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from polar_code_tpu import config
-    from polar_code_tpu.channel import noise_var_coded
+    from polar_code_tpu.channel import awgn_llr, bpsk, noise_var_coded
+    from polar_code_tpu.ops.crc import attach_crc_batch
+    from polar_code_tpu.ops.polar_transform import encode_batch
     from polar_code_tpu.ops.scl import decode_scl_batch
     from polar_code_tpu.polar.construct import construct_info_set
 
     cfg = config.DEFAULTS
     info_set = construct_info_set(cfg.N, cfg.K)
-    nv = noise_var_coded(5.0, cfg.K, cfg.N)
-
-    rng = np.random.default_rng(0)
-    bits = rng.integers(0, 2, size=(args.batch, cfg.N))
-    sym = 1.0 - 2.0 * bits
-    llr_host = 2.0 * (sym + rng.normal(0, np.sqrt(nv), size=sym.shape)) / nv
-    llr = jnp.asarray(llr_host, jnp.float32)
+    nv = noise_var_coded(args.snr_db, cfg.K, cfg.N)
+    payload_bits = cfg.K - cfg.crc_bits
 
     @jax.jit
-    def decode(llr):
+    def step(key):
+        kp, kn = jax.random.split(key)
+        payload = jax.random.bernoulli(kp, 0.5, (args.batch, payload_bits)).astype(jnp.int8)
+        msg = attach_crc_batch(payload, cfg.crc_poly)
+        code = encode_batch(msg, info_set, cfg.N)
+        llr = awgn_llr(kn, bpsk(code), nv)
         res = decode_scl_batch(llr, info_set, M=args.M, crc=cfg.crc_poly)
-        return res.best_path_bits, res.crc_pass
+        frame_ok = jnp.all(res.best_path_bits == msg, axis=1)
+        return jnp.sum(res.crc_pass), jnp.sum(frame_ok)
 
-    # Warmup / compile.
-    out = decode(llr)
-    jax.block_until_ready(out)
+    # Warmup / compile.  NB: sync with device_get, not block_until_ready —
+    # the latter does not reliably wait for execution on the axon backend.
+    jax.device_get(step(jax.random.key(0)))
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = decode(llr)
-    jax.block_until_ready(out)
+    outs = [jax.device_get(step(jax.random.key(1 + i))) for i in range(args.iters)]
     dt = time.perf_counter() - t0
 
-    fps = args.batch * args.iters / dt
+    total = args.batch * args.iters
+    fps = total / dt
+    crc_rate = float(sum(int(o[0]) for o in outs)) / total
+    assert crc_rate > 0.5, f"decoder sanity failed: crc pass rate {crc_rate}"
     print(
         json.dumps(
             {
-                "metric": f"scl_m{args.M}_decode_frames_per_s",
+                "metric": f"scl_m{args.M}_sim_decode_frames_per_s",
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REF_CPU_M8_FPS, 1),
