@@ -64,7 +64,7 @@ def _make_oracle_chunk(cfg, info_set, M: int, batch: int, max_attempts: int):
                 res.best_path_bits.astype(jnp.int32) == info_vec[None, :], axis=1
             )
             newly = ~found & ok
-            label = jnp.where(newly, idx, label)
+            label = jnp.where(newly, idx.astype(jnp.int32), label)
             return (found | ok, label), None
 
         (found, label), _ = jax.lax.scan(

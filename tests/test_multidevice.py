@@ -33,12 +33,12 @@ def test_fer_chunk_sharding_invariance(eight_devices):
     )
     key = jax.random.key(42)
 
-    single = make_fer_chunk(**kwargs, mesh=None)(key, 0.4, 0.4)
+    single = make_fer_chunk(**kwargs, mesh=None)(key, 1.2, 1.2)
     single = {k: int(v) for k, v in jax.device_get(single).items()}
 
     mesh = frames_mesh(8)
     with mesh:
-        sharded = make_fer_chunk(**kwargs, mesh=mesh)(key, 0.4, 0.4)
+        sharded = make_fer_chunk(**kwargs, mesh=mesh)(key, 1.2, 1.2)
     sharded = {k: int(v) for k, v in jax.device_get(sharded).items()}
 
     assert single == sharded
