@@ -37,15 +37,21 @@ def main() -> None:
 
     from polar_code_tpu import config
     from polar_code_tpu.channel import awgn_llr, bpsk, noise_var_coded
+    from polar_code_tpu.ops.backend import resolve_backend
     from polar_code_tpu.ops.crc import attach_crc_batch
     from polar_code_tpu.ops.polar_transform import encode_batch
     from polar_code_tpu.ops.scl import decode_scl_batch
+    from polar_code_tpu.ops.scl_pallas import decode_scl_pallas
     from polar_code_tpu.polar.construct import construct_info_set
 
     cfg = config.DEFAULTS
     info_set = construct_info_set(cfg.N, cfg.K)
     nv = noise_var_coded(args.snr_db, cfg.K, cfg.N)
     payload_bits = cfg.K - cfg.crc_bits
+    use_pallas = (
+        resolve_backend("auto", batch=args.batch, M=args.M, dtype=jnp.float32)
+        == "pallas"
+    )
 
     @jax.jit
     def step(key):
@@ -54,9 +60,14 @@ def main() -> None:
         msg = attach_crc_batch(payload, cfg.crc_poly)
         code = encode_batch(msg, info_set, cfg.N)
         llr = awgn_llr(kn, bpsk(code), nv)
-        res = decode_scl_batch(llr, info_set, M=args.M, crc=cfg.crc_poly)
-        frame_ok = jnp.all(res.best_path_bits == msg, axis=1)
-        return jnp.sum(res.crc_pass), jnp.sum(frame_ok)
+        if use_pallas:
+            out = decode_scl_pallas(llr, info_set, args.M, cfg.crc_poly)
+            bits, crc_pass = out["best_path_bits"], out["crc_pass"]
+        else:
+            res = decode_scl_batch(llr, info_set, M=args.M, crc=cfg.crc_poly)
+            bits, crc_pass = res.best_path_bits, res.crc_pass
+        frame_ok = jnp.all(bits == msg, axis=1)
+        return jnp.sum(crc_pass), jnp.sum(frame_ok)
 
     # Warmup / compile.  NB: sync with device_get, not block_until_ready —
     # the latter does not reliably wait for execution on the axon backend.

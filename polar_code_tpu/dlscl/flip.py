@@ -149,6 +149,7 @@ def decode_with_retries_batch(
     crc: str,
     beta: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
+    backend: str = "auto",
 ) -> dict:
     """Batched DL-SCL: baseline + masked flip retries in one scanned graph.
 
@@ -173,6 +174,21 @@ def decode_with_retries_batch(
     beta_arr = jnp.asarray(beta, dtype) if beta is not None else None
     pos = jnp.arange(K)[None, :]
 
+    from ..ops.backend import resolve_backend
+
+    use_pallas = (
+        resolve_backend(backend, batch=B, M=M, dtype=dtype) == "pallas"
+    )
+
+    def _decode(forced):
+        if use_pallas:
+            from ..ops.scl_pallas import decode_scl_pallas
+
+            out = decode_scl_pallas(llr, info_np, M, crc, force_info_bits=forced)
+            return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
+        res = decode_scl_batch(llr, info_np, M, crc, force_info_bits=forced, dtype=dtype)
+        return res.best_path_bits, res.best_path_info_llrs, res.crc_pass
+
     def body(carry, t):
         done, best_bits, best_llrs, tried, attempts, base_pass, base_bits = carry
         is_baseline = t == 0
@@ -186,17 +202,17 @@ def decode_with_retries_batch(
         forced = jnp.where(pos == idx[:, None], flip_bit, forced)
         forced = jnp.where(is_baseline, jnp.full_like(forced, -1), forced)
 
-        res = decode_scl_batch(llr, info_np, M, crc, force_info_bits=forced, dtype=dtype)
+        r_bits, r_llrs, r_pass = _decode(forced)
 
         active = jnp.logical_or(is_baseline, ~done)  # [B]
         upd = active[:, None]
-        best_bits = jnp.where(upd, res.best_path_bits, best_bits)
-        best_llrs = jnp.where(upd, res.best_path_info_llrs, best_llrs)
+        best_bits = jnp.where(upd, r_bits, best_bits)
+        best_llrs = jnp.where(upd, r_llrs.astype(dtype), best_llrs)
         tried = tried | (upd & (pos == idx[:, None]) & ~is_baseline)
         attempts = attempts + (active & ~is_baseline).astype(jnp.int32)
-        done = jnp.where(active, res.crc_pass, done)
-        base_pass = jnp.where(is_baseline, res.crc_pass, base_pass)
-        base_bits = jnp.where(is_baseline, res.best_path_bits, base_bits)
+        done = jnp.where(active, r_pass, done)
+        base_pass = jnp.where(is_baseline, r_pass, base_pass)
+        base_bits = jnp.where(is_baseline, r_bits, base_bits)
         return (done, best_bits, best_llrs, tried, attempts, base_pass, base_bits), None
 
     init = (

@@ -49,13 +49,19 @@ def decode_rate_matched_scl_batch(
     ilv_mode: str = "default",
     *,
     dtype=jnp.float32,
+    backend: str = "xla",
 ) -> Dict[str, jnp.ndarray]:
     """llr [B, E] → {"payload" [B, K], "crc_pass" [B], "best_path_bits" [B, K]}."""
 
     llr_internal = derate_match_polar(llr_E, N)
     llr_internal = subblock_deinterleave(llr_internal, N, mode=ilv_mode)
-    res = decode_scl_batch(llr_internal, info_set, M, crc_poly, dtype=dtype)
-    bits = res.best_path_bits
+    if backend == "pallas":
+        from ...ops.scl_pallas import decode_scl_pallas
+
+        bits = decode_scl_pallas(llr_internal, info_set, M, crc_poly)["best_path_bits"]
+    else:
+        res = decode_scl_batch(llr_internal, info_set, M, crc_poly, dtype=dtype)
+        bits = res.best_path_bits
     return {
         "payload": bits[:, : len(np.asarray(info_set))],
         "crc_pass": check_crc_batch(bits, crc_poly),

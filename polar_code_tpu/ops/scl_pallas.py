@@ -1,0 +1,456 @@
+"""Pallas TPU kernel: fused CRC-aided SCL decode (the ◆◆ hot core).
+
+Why a kernel: the pure-XLA decoder (`ops/scl.py`) lowers to ~10³ small ops
+per decode (one dispatch per f/g/sort/gather step); measured on a v5e chip
+the per-op overhead dominates end-to-end time.  This kernel runs the entire
+128-phase decode as ONE launch per batch tile with all per-path state
+resident in VMEM.
+
+Design (see `ops/scl.py` for the semantics being implemented — identical
+math, reference `dl_scl_polar/polar/scl.py`):
+
+* Grid over batch tiles of BT frames (batch rides the TPU lane dimension;
+  all state arrays are [..., BT]).
+* Compact per-path state: one active node per tree level — LLR rows
+  (N−1) + partial-sum rows (N−1) per path, unified in a single f32 VMEM
+  buffer (bits stored as 0.0/1.0; XOR = a + b − 2ab).
+* The phase loop is a `fori_loop` with a *uniform* body: per-phase f/g
+  level updates and partial-sum stores are selected by SMEM-prefetched
+  schedule tables (op ∈ {none, f, g} per (phase, level)); the partial-sum
+  combine chain is computed unconditionally and only the scheduled store
+  lands.  This keeps the Mosaic graph small (fast compile) at the cost of
+  a little redundant VPU work.
+* Fork/prune at info phases: 2M candidate metrics with the exact
+  `log(1+e^∓LLR)` penalty; a Batcher odd-even sorting network over
+  (metric, creation-index) pairs reproduces the reference's stable sort
+  bit-for-bit; clone-by-gather is an M² masked-select into a double
+  buffer.  Unused list slots carry +inf metrics.
+* Path histories are NOT gathered every phase: (parent, bit, leaf-LLR)
+  traces are recorded per info phase and the M candidates are
+  reconstructed by a backtracking loop at the end — this removes the
+  [M, K] info-bit planes from the per-phase clone entirely.
+* CRC selection: per-candidate syndrome via an MXU matmul with the
+  precomputed GF(2) check matrix (`ops/crc.py`), first-passing-else-best
+  selection, all in-kernel.
+
+`force_info_bits` plans (−1/0/1) are honored by masking disallowed
+branches to +inf, matching the reference's extend-in-place semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..polar.construct import frozen_mask as _frozen_mask
+from .crc import check_matrix
+
+_BIG = 3.0e38  # +inf stand-in that survives f32 arithmetic
+
+
+def _batcher_pairs(n: int) -> List[Tuple[int, int]]:
+    """Comparator list for Batcher's odd-even mergesort (n a power of two)."""
+
+    pairs: List[Tuple[int, int]] = []
+
+    def oddeven_merge(lo: int, hi: int, r: int) -> None:
+        step = r * 2
+        if step < hi - lo:
+            oddeven_merge(lo, hi, step)
+            oddeven_merge(lo + r, hi, step)
+            for i in range(lo + r, hi - r, step):
+                pairs.append((i, i + r))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo: int, hi: int) -> None:
+        if hi - lo >= 2:
+            mid = (hi - lo) // 2
+            sort(lo, lo + mid)
+            sort(lo + mid, hi)
+            oddeven_merge(lo, hi, 1)
+
+    sort(0, n)
+    return pairs
+
+
+def _schedule_tables(N: int, info_np: np.ndarray):
+    """Static per-phase schedules (see ops/scl.py run_updates/propagate_bits)."""
+
+    n = int(math.log2(N))
+    upd = np.zeros((N, n + 1), np.int32)  # 0 none / 1 f / 2 g, per level 1..n
+    store = np.zeros((N, n + 1), np.int32)  # store partial-sum cur at level
+    for phase in range(N):
+        if phase == 0:
+            upd[0, 1 : n + 1] = 1
+        else:
+            k = (phase & -phase).bit_length() - 1
+            upd[phase, n - k] = 2
+            upd[phase, n - k + 1 : n + 1] = 1
+        level, node = n, phase
+        while level > 0 and node % 2 == 1:
+            node //= 2
+            level -= 1
+        if level > 0:
+            store[phase, level] = 1
+
+    frozen = _frozen_mask(N, info_np).astype(np.int32)
+    infoidx = np.zeros(N, np.int32)
+    idx = 0
+    for phase in range(N):
+        if not frozen[phase]:
+            infoidx[phase] = idx
+            idx += 1
+    return upd, store, frozen, infoidx
+
+
+def _softplus(x):
+    # log(1 + e^x) == np.logaddexp(0, x), stable for large |x|
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def _select_m(rows, idx):
+    """rows: [M, BT]; idx: [1, BT] float path index → gathered [1, BT]."""
+
+    M = rows.shape[0]
+    acc = None
+    for p in range(M):
+        contrib = jnp.where(idx == float(p), rows[p : p + 1, :], 0.0)
+        acc = contrib if acc is None else acc + contrib
+    return acc
+
+
+def _kernel_body(
+    # scalar-prefetch (SMEM)
+    upd_ref, store_ref, frozen_ref, infoidx_ref,
+    # inputs (VMEM blocks)
+    llr_ref,      # [N, BT] channel LLRs
+    forced_ref,   # [K, BT] int32 plan (−1 free / 0 / 1)
+    hc_ref,       # [deg, K] f32 CRC check matrix (dummy [1,1] when unused)
+    # outputs
+    bits_ref,     # [K, BT] int32 best path bits
+    llrs_ref,     # [K, BT] f32 best path info LLRs
+    pass_ref,     # [1, BT] int32 CRC pass
+    # scratch
+    state_ref,    # [M, 2(N−1), BT] f32: rows [0,N−1) llr, [N−1,2N−2) bits
+    state2_ref,   # [M, 2(N−1), BT] f32 (clone double buffer)
+    pm_ref,       # [M, BT] f32 path metrics
+    tparent_ref,  # [K, M, BT] f32 trace: parent slot per info phase
+    tbit_ref,     # [K, M, BT] f32 trace: chosen bit
+    tleaf_ref,    # [K, M, BT] f32 trace: leaf LLR by *parent* slot
+    cbits_ref,    # [K, M, BT] f32 reconstructed candidate bits
+    cllrs_ref,    # [K, M, BT] f32 reconstructed candidate LLRs
+    curidx_ref,   # [M, BT] f32 backtrack cursor
+    *,
+    N: int, M: int, K: int, use_crc: bool,
+):
+    n = int(math.log2(N))
+    BT = llr_ref.shape[1]
+    off = {}
+    o = 0
+    for level in range(1, n + 1):
+        off[level] = o
+        o += N >> level
+    SB = N - 1  # partial-sum row base
+
+    def lrows(level):
+        return slice(off[level], off[level] + (N >> level))
+
+    def brows(level):
+        return slice(SB + off[level], SB + off[level] + (N >> level))
+
+    # --- init ---------------------------------------------------------
+    state_ref[...] = jnp.zeros_like(state_ref)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (M, BT), 0)
+    pm_ref[...] = jnp.where(slot == 0, 0.0, _BIG)
+
+    sort_pairs_2m = _batcher_pairs(2 * M)
+    sort_pairs_m = _batcher_pairs(M) if M > 1 else []
+
+    def propagate(phase, cur):
+        """Partial-sum combine chain; only the scheduled store lands."""
+
+        for level in range(n, 0, -1):
+            @pl.when(store_ref[phase, level] == 1)
+            def _(cur=cur, level=level):
+                state_ref[:, brows(level), :] = cur
+            if level > 1:
+                left = state_ref[:, brows(level), :]
+                xor = left + cur - 2.0 * left * cur
+                cur = jnp.concatenate([xor, cur], axis=1)
+
+    def phase_body(phase, _):
+        # 1. f/g LLR updates per level (static unroll; scheduled by table)
+        for level in range(1, n + 1):
+            half = N >> level
+            op = upd_ref[phase, level]
+            if level == 1:
+                a = llr_ref[:half, :]
+                b = llr_ref[half : 2 * half, :]
+
+                @pl.when(op == 1)
+                def _(a=a, b=b, level=level, half=half):
+                    f = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+                    state_ref[:, lrows(level), :] = jnp.broadcast_to(f, (M, half, BT))
+
+                @pl.when(op == 2)
+                def _(a=a, b=b, level=level, half=half):
+                    c = state_ref[:, brows(level), :]
+                    state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
+            else:
+                parent = state_ref[:, lrows(level - 1), :]
+                a = parent[:, :half, :]
+                b = parent[:, half:, :]
+
+                @pl.when(op == 1)
+                def _(a=a, b=b, level=level):
+                    f = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+                    state_ref[:, lrows(level), :] = f
+
+                @pl.when(op == 2)
+                def _(a=a, b=b, level=level):
+                    c = state_ref[:, brows(level), :]
+                    state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
+
+        leaf = state_ref[:, off[n] : off[n] + 1, :]  # [M, 1, BT]
+        fz = frozen_ref[phase]
+
+        # 2a. frozen: extend every path with 0
+        @pl.when(fz == 1)
+        def _():
+            pen = _softplus(-leaf[:, 0, :])  # [M, BT]
+            pm_ref[...] = pm_ref[...] + pen
+            propagate(phase, jnp.zeros((M, 1, BT), jnp.float32))
+
+        # 2b. info: fork, stable top-M, clone-by-gather, record traces
+        @pl.when(fz == 0)
+        def _():
+            i = infoidx_ref[phase]
+            fb = forced_ref[pl.ds(i, 1), :].astype(jnp.float32)  # [1, BT]
+            pmc = []
+            idxs = []
+            for p in range(M):
+                lp = leaf[p]  # [1, BT]
+                base = pm_ref[p : p + 1, :]
+                c0 = base + _softplus(-lp)
+                c1 = base + _softplus(lp)
+                c0 = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, c0)
+                c1 = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, c1)
+                pmc += [c0, c1]
+                idxs += [
+                    jnp.full((1, BT), float(2 * p), jnp.float32),
+                    jnp.full((1, BT), float(2 * p + 1), jnp.float32),
+                ]
+            # stable sort by (metric, creation index)
+            for ia, ib in sort_pairs_2m:
+                swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
+                pa, pb = pmc[ia], pmc[ib]
+                xa, xb = idxs[ia], idxs[ib]
+                pmc[ia] = jnp.where(swap, pb, pa)
+                pmc[ib] = jnp.where(swap, pa, pb)
+                idxs[ia] = jnp.where(swap, xb, xa)
+                idxs[ib] = jnp.where(swap, xa, xb)
+
+            parents = []
+            bits = []
+            for m in range(M):
+                par = jnp.floor(idxs[m] * 0.5)
+                parents.append(par)
+                bits.append(idxs[m] - 2.0 * par)
+
+            # clone-by-gather into the double buffer
+            for m in range(M):
+                acc = None
+                for p in range(M):
+                    contrib = jnp.where(parents[m] == float(p), state_ref[p], 0.0)
+                    acc = contrib if acc is None else acc + contrib
+                state2_ref[m] = acc
+            state_ref[...] = state2_ref[...]
+            pm_ref[...] = jnp.concatenate(pmc[:M], axis=0)
+
+            # traces (leaf is indexed by the *old* slot = parent)
+            tparent_ref[pl.ds(i, 1)] = jnp.concatenate(parents, axis=0)[None]
+            tbit_ref[pl.ds(i, 1)] = jnp.concatenate(bits, axis=0)[None]
+            tleaf_ref[pl.ds(i, 1)] = leaf[:, 0, :][None]
+
+            propagate(phase, jnp.stack(bits, axis=0).reshape(M, 1, BT))
+
+    jax.lax.fori_loop(0, N, phase_body, None)
+
+    # --- final stable sort of the list by metric ----------------------
+    fpm = [pm_ref[m : m + 1, :] for m in range(M)]
+    fidx = [jnp.full((1, BT), float(m), jnp.float32) for m in range(M)]
+    for ia, ib in sort_pairs_m:
+        swap = (fpm[ia] > fpm[ib]) | ((fpm[ia] == fpm[ib]) & (fidx[ia] > fidx[ib]))
+        pa, pb = fpm[ia], fpm[ib]
+        xa, xb = fidx[ia], fidx[ib]
+        fpm[ia] = jnp.where(swap, pb, pa)
+        fpm[ib] = jnp.where(swap, pa, pb)
+        fidx[ia] = jnp.where(swap, xb, xa)
+        fidx[ib] = jnp.where(swap, xa, xb)
+
+    # --- backtrack all M candidates through the traces ----------------
+    curidx_ref[...] = jnp.concatenate(fidx, axis=0)
+
+    def bt_body(t, _):
+        i = K - 1 - t
+        tb = tbit_ref[pl.ds(i, 1)][0]  # [M, BT]
+        tp = tparent_ref[pl.ds(i, 1)][0]
+        tl = tleaf_ref[pl.ds(i, 1)][0]
+        newcur = []
+        brow = []
+        lrow = []
+        for r in range(M):
+            ci = curidx_ref[r : r + 1, :]
+            b = _select_m(tb, ci)
+            p = _select_m(tp, ci)
+            l = _select_m(tl, p)
+            brow.append(b)
+            lrow.append(l)
+            newcur.append(p)
+        cbits_ref[pl.ds(i, 1)] = jnp.concatenate(brow, axis=0)[None]
+        cllrs_ref[pl.ds(i, 1)] = jnp.concatenate(lrow, axis=0)[None]
+        curidx_ref[...] = jnp.concatenate(newcur, axis=0)
+
+    jax.lax.fori_loop(0, K, bt_body, None)
+
+    # --- CRC selection: first passing candidate, else best metric -----
+    best_bits = cbits_ref[:, 0, :]  # [K, BT] (rank 0 fallback)
+    best_llrs = cllrs_ref[:, 0, :]
+    done = jnp.zeros((1, BT), jnp.bool_)
+    if use_crc:
+        Hc_const = hc_ref[...]  # [deg, K]
+        for r in range(M):
+            cand = cbits_ref[:, r, :]  # [K, BT]
+            syn = jax.lax.dot_general(
+                Hc_const, cand, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            syn = syn - 2.0 * jnp.floor(syn * 0.5)
+            ok = (jnp.max(syn, axis=0, keepdims=True) == 0.0) & (fpm[r] < _BIG)
+            take = ok & jnp.logical_not(done)
+            best_bits = jnp.where(take, cand, best_bits)
+            best_llrs = jnp.where(take, cllrs_ref[:, r, :], best_llrs)
+            done = done | ok
+
+    bits_ref[...] = best_bits.astype(jnp.int32)
+    llrs_ref[...] = best_llrs
+    pass_ref[...] = done.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_kernel_for(
+    info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int, interpret: bool
+):
+    info_np = np.asarray(info_key, dtype=np.int64)
+    K = int(info_np.size)
+    upd, store, frozen, infoidx = _schedule_tables(N, info_np)
+    Hc = np.asarray(check_matrix(crc, K)) if crc is not None else None
+    n_state = 2 * (N - 1)
+
+    kernel = functools.partial(
+        _kernel_body, N=N, M=M, K=K, use_crc=crc is not None
+    )
+
+    hc_arr = (
+        np.asarray(Hc, np.float32) if Hc is not None else np.zeros((1, 1), np.float32)
+    )
+    in_specs = [
+        pl.BlockSpec((N, BT), lambda i, *_: (0, i)),
+        pl.BlockSpec((K, BT), lambda i, *_: (0, i)),
+        pl.BlockSpec(hc_arr.shape, lambda i, *_: (0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((K, BT), lambda i, *_: (0, i)),
+        pl.BlockSpec((K, BT), lambda i, *_: (0, i)),
+        pl.BlockSpec((1, BT), lambda i, *_: (0, i)),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((M, n_state, BT), jnp.float32),
+        pltpu.VMEM((M, n_state, BT), jnp.float32),
+        pltpu.VMEM((M, BT), jnp.float32),
+        pltpu.VMEM((K, M, BT), jnp.float32),
+        pltpu.VMEM((K, M, BT), jnp.float32),
+        pltpu.VMEM((K, M, BT), jnp.float32),
+        pltpu.VMEM((K, M, BT), jnp.float32),
+        pltpu.VMEM((K, M, BT), jnp.float32),
+        pltpu.VMEM((M, BT), jnp.float32),
+    ]
+
+    def run(llr_t: jnp.ndarray, forced_t: jnp.ndarray):
+        B = llr_t.shape[1]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B // BT,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        bits_t, llrs_t, pass_t = pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=[
+                jax.ShapeDtypeStruct((K, B), jnp.int32),
+                jax.ShapeDtypeStruct((K, B), jnp.float32),
+                jax.ShapeDtypeStruct((1, B), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(upd), jnp.asarray(store), jnp.asarray(frozen),
+            jnp.asarray(infoidx), llr_t, forced_t, jnp.asarray(hc_arr),
+        )
+        return bits_t, llrs_t, pass_t
+
+    return run
+
+
+def decode_scl_pallas(
+    llr: jnp.ndarray,
+    info_set,
+    M: int,
+    crc: Optional[str] = None,
+    *,
+    force_info_bits: Optional[jnp.ndarray] = None,
+    block_batch: int = 128,
+    interpret: bool = False,
+) -> dict:
+    """Fused-kernel SCL decode of a batch.
+
+    llr: [B, N] (B must be a multiple of `block_batch`).  Returns
+    {"best_path_bits" int8 [B, K], "best_path_info_llrs" f32 [B, K],
+     "crc_pass" bool [B]} — the fast-path subset of `SCLResult` used by the
+    simulation pipelines (full candidate lists live in `decode_scl_batch`).
+    """
+
+    if M & (M - 1):
+        raise ValueError("kernel supports power-of-two list sizes")
+    info_np = np.asarray(info_set)
+    B, N = int(llr.shape[0]), int(llr.shape[1])
+    K = int(info_np.size)
+    if B % block_batch:
+        raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
+
+    run = _build_kernel_for(
+        tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret
+    )
+    llr_t = llr.T.astype(jnp.float32)  # [N, B]
+    if force_info_bits is None:
+        forced_t = jnp.full((K, B), -1, jnp.int32)
+    else:
+        forced_t = force_info_bits.T.astype(jnp.int32)
+    bits_t, llrs_t, pass_t = run(llr_t, forced_t)
+    return {
+        "best_path_bits": bits_t.T.astype(jnp.int8),
+        "best_path_info_llrs": llrs_t.T,
+        "crc_pass": pass_t[0].astype(bool),
+    }
+
+
+__all__ = ["decode_scl_pallas"]

@@ -54,6 +54,7 @@ def make_fer_chunk(
     include_uncoded: bool = False,
     dtype=jnp.float32,
     mesh=None,
+    backend: str = "auto",
 ):
     """Build the jitted FER-sweep chunk: (key, σ²_coded, σ²_uncoded) → counters.
 
@@ -65,6 +66,12 @@ def make_fer_chunk(
     payload_bits = K - _crc_degree(crc_poly)
     beta_arr = jnp.asarray(beta, dtype) if beta is not None else None
     info_np = np.asarray(info_set)
+    multi = mesh is not None and len(mesh.devices.flat) > 1
+    from ..ops.backend import resolve_backend
+
+    decode_backend = resolve_backend(
+        backend, batch=batch, M=M, dtype=dtype, multi_device=multi
+    )
 
     def chunk(key, noise_var_coded, noise_var_uncoded):
         kp, kn, kun, knu = jax.random.split(key, 4)
@@ -75,7 +82,8 @@ def make_fer_chunk(
         llr = shard_frames(llr, mesh)
 
         dl = decode_with_retries_batch(
-            llr, info_np, M, retries, crc=crc_poly, beta=beta_arr, dtype=dtype
+            llr, info_np, M, retries, crc=crc_poly, beta=beta_arr, dtype=dtype,
+            backend=decode_backend,
         )
         scl_bits = dl["baseline_bits"]
         dl_bits = dl["best_path_bits"]
@@ -129,6 +137,7 @@ def make_ber_chunk(
     batch: int,
     dtype=jnp.float32,
     mesh=None,
+    backend: str = "auto",
 ):
     """Build the jitted unified-BER-sweep chunk: (key, σ²) → counters.
 
@@ -140,6 +149,14 @@ def make_ber_chunk(
         raise ValueError(f"Unsupported scheme: {scheme}")
     beta_arr = jnp.asarray(beta, dtype) if beta is not None else None
     info_np = np.asarray(info_set) if info_set is not None else None
+    multi = mesh is not None and len(mesh.devices.flat) > 1
+    from ..ops.backend import resolve_backend
+
+    decode_backend = (
+        resolve_backend(backend, batch=batch, M=M, dtype=dtype, multi_device=multi)
+        if scheme != "nr_ldpc"
+        else "xla"
+    )
 
     def chunk(key, noise_var):
         kp, kn = jax.random.split(key)
@@ -161,17 +178,26 @@ def make_ber_chunk(
         llr = shard_frames(llr, mesh)
 
         if scheme == "polar_scl":
-            res = decode_scl_batch(llr, info_np, M, crc_poly, dtype=dtype)
-            candidate = res.best_path_bits[:, :K_payload]
+            if decode_backend == "pallas":
+                from ..ops.scl_pallas import decode_scl_pallas
+
+                candidate = decode_scl_pallas(llr, info_np, M, crc_poly)[
+                    "best_path_bits"
+                ][:, :K_payload]
+            else:
+                res = decode_scl_batch(llr, info_np, M, crc_poly, dtype=dtype)
+                candidate = res.best_path_bits[:, :K_payload]
         elif scheme == "dl_scl":
             res = decode_with_retries_batch(
-                llr, info_np, M, retries, crc=crc_poly, beta=beta_arr, dtype=dtype
+                llr, info_np, M, retries, crc=crc_poly, beta=beta_arr, dtype=dtype,
+                backend=decode_backend,
             )
             candidate = res["best_path_bits"][:, :K_payload]
             work = res["attempts_used"].astype(jnp.float32)
         elif scheme == "nr_polar_scl":
             res = decode_rate_matched_scl_batch(
-                llr, crc_poly, N, E, info_np, M, ilv_mode, dtype=dtype
+                llr, crc_poly, N, E, info_np, M, ilv_mode, dtype=dtype,
+                backend=decode_backend,
             )
             candidate = res["best_path_bits"][:, :K_payload]
         else:  # nr_ldpc

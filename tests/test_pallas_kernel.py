@@ -1,0 +1,73 @@
+"""Pallas SCL kernel vs the XLA decoder (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polar_code_tpu.ops.scl import decode_scl_batch
+from polar_code_tpu.ops.scl_pallas import decode_scl_pallas
+from polar_code_tpu.polar.construct import construct_info_set
+
+N, K = 32, 16
+CRC = "0x17"
+B = 8
+
+
+@pytest.fixture(scope="module")
+def info_set():
+    return construct_info_set(N, K)
+
+
+def _llrs(seed=0, scale=3.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(0, scale, size=(B, N)), jnp.float32)
+
+
+@pytest.mark.parametrize("M", [1, 2, 4])
+@pytest.mark.parametrize("use_crc", [True, False])
+def test_kernel_matches_xla(info_set, M, use_crc):
+    crc = CRC if use_crc else None
+    llr = _llrs(seed=M)
+    ref = decode_scl_batch(llr, info_set, M, crc, dtype=jnp.float32)
+    out = decode_scl_pallas(llr, info_set, M, crc, block_batch=B, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out["best_path_bits"]), np.asarray(ref.best_path_bits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["crc_pass"]), np.asarray(ref.crc_pass)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["best_path_info_llrs"]),
+        np.asarray(ref.best_path_info_llrs),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_kernel_forced_plan_matches_xla(info_set):
+    M = 4
+    llr = _llrs(seed=9)
+    base = decode_scl_batch(llr, info_set, M, CRC, dtype=jnp.float32)
+    bits = np.asarray(base.best_path_bits)
+    forced = np.full((B, K), -1, dtype=np.int8)
+    forced[:, :4] = bits[:, :4]
+    forced[:, 4] = 1 - bits[:, 4]
+    ref = decode_scl_batch(
+        llr, info_set, M, CRC, force_info_bits=jnp.asarray(forced), dtype=jnp.float32
+    )
+    out = decode_scl_pallas(
+        llr, info_set, M, CRC, force_info_bits=jnp.asarray(forced),
+        block_batch=B, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["best_path_bits"]), np.asarray(ref.best_path_bits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["crc_pass"]), np.asarray(ref.crc_pass)
+    )
+
+
+def test_kernel_rejects_bad_shapes(info_set):
+    with pytest.raises(ValueError):
+        decode_scl_pallas(_llrs(), info_set, 3, CRC, interpret=True)
+    with pytest.raises(ValueError):
+        decode_scl_pallas(_llrs(), info_set, 2, CRC, block_batch=3, interpret=True)
