@@ -104,7 +104,7 @@ def run(cfg: LegacySimConfig = LegacySimConfig(), out_dir: str = ".") -> BERFER:
                 jnp.asarray(llr), mask, cfg.conv_gen, cfg.list_size,
                 crc_len=cfg.crc_len if is_crc else 0, crc_poly=cfg.crc_poly,
             )
-            decoded = np.asarray(res["extracted"])
+            decoded = np.asarray(res["extracted"]).copy()
             errs = (decoded != messages).sum(axis=1)
 
             # adaptive second stage: re-decode failed frames with L_max
