@@ -34,8 +34,26 @@ def _make_oracle_chunk(cfg, info_set, M: int, batch: int, max_attempts: int):
     import jax
     import jax.numpy as jnp
 
+    from ..ops.backend import resolve_backend
+
     info_np = np.asarray(info_set)
     K = int(info_np.size)
+    use_pallas = (
+        resolve_backend("auto", batch=batch, M=M, dtype=jnp.float32) == "pallas"
+    )
+
+    def _decode(llr, forced=None):
+        if use_pallas:
+            from ..ops.scl_pallas import decode_scl_pallas
+
+            out = decode_scl_pallas(
+                llr, info_np, M, cfg.crc_poly, force_info_bits=forced
+            )
+            return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
+        res = decode_scl_batch(
+            llr, info_np, M, cfg.crc_poly, force_info_bits=forced
+        )
+        return res.best_path_bits, res.best_path_info_llrs, res.crc_pass
     payload = np.zeros(cfg.K - cfg.crc_bits, dtype=np.int8)
     info_bits = attach_crc(payload, cfg.crc_poly)
     code = encode(info_bits)
@@ -45,11 +63,10 @@ def _make_oracle_chunk(cfg, info_set, M: int, batch: int, max_attempts: int):
 
     def chunk(key, noise_var):
         llr = awgn_llr(key, jnp.broadcast_to(symbols, (batch, cfg.N)), noise_var)
-        base = decode_scl_batch(llr, info_np, M, cfg.crc_poly)
-        fail = ~base.crc_pass
-        abs_l0 = jnp.abs(base.best_path_info_llrs)  # [B, K]
+        best_bits, best_llrs, crc_pass = _decode(llr)
+        fail = ~crc_pass
+        abs_l0 = jnp.abs(best_llrs)  # [B, K]
         order = jnp.argsort(abs_l0, axis=1)
-        best_bits = base.best_path_bits
 
         def body(carry, j):
             found, label = carry
@@ -57,11 +74,9 @@ def _make_oracle_chunk(cfg, info_set, M: int, batch: int, max_attempts: int):
             flip_bit = (1 - jnp.take_along_axis(best_bits, idx[:, None], axis=1)).astype(jnp.int8)
             forced = jnp.where(pos < idx[:, None], best_bits, jnp.int8(-1))
             forced = jnp.where(pos == idx[:, None], flip_bit, forced)
-            res = decode_scl_batch(
-                llr, info_np, M, cfg.crc_poly, force_info_bits=forced
-            )
-            ok = res.crc_pass & jnp.all(
-                res.best_path_bits.astype(jnp.int32) == info_vec[None, :], axis=1
+            r_bits, _, r_pass = _decode(llr, forced)
+            ok = r_pass & jnp.all(
+                r_bits.astype(jnp.int32) == info_vec[None, :], axis=1
             )
             newly = ~found & ok
             label = jnp.where(newly, idx.astype(jnp.int32), label)
