@@ -108,7 +108,50 @@ def _schedule_tables(N: int, info_np: np.ndarray):
         if not frozen[phase]:
             infoidx[phase] = idx
             idx += 1
-    return upd, store, frozen, infoidx
+
+    # Liveness for clone-by-gather: at the fork of phase j, a level's rows
+    # only need gathering if some phase > j semantically reads them before
+    # overwriting.  Computed by a reverse sweep over the exact schedule:
+    # NEED_before(p) = (NEED_after(p) − writes(p)) ∪ reads(p);
+    # live(j) = NEED_after(j).
+    llr_live = np.zeros((N, n + 1), np.int32)
+    bit_live = np.zeros((N, n + 1), np.int32)
+    need_llr: set = set()
+    need_bit: set = set()
+    for p in range(N - 1, -1, -1):
+        # The gather at the fork of phase p runs mid-phase: after the leaf
+        # decision, BEFORE the partial-sum propagation.  It must preserve
+        # everything later phases need PLUS the bit rows this phase's own
+        # combine chain is about to read.
+        lvl, node = n, p
+        comb_levels = []
+        while lvl > 0 and node % 2 == 1:
+            comb_levels.append(lvl)
+            node //= 2
+            lvl -= 1
+        for level in range(1, n + 1):
+            llr_live[p, level] = int(level in need_llr)
+            bit_live[p, level] = int(level in need_bit or level in comb_levels)
+        # reverse-apply phase p: remove its writes, add its reads
+        # (a) partial-sum propagation: combines read bit[level] for levels
+        #     n .. store_level+1; the store writes bit[store_level]
+        if lvl > 0:
+            need_bit.discard(lvl)  # written here
+        for c in comb_levels:
+            need_bit.add(c)  # read here
+        # (b) the leaf decision reads llr[n] at this phase
+        need_llr.add(n)
+        # (c) f/g updates (applied top-down at runtime; reverse bottom-up)
+        for level in range(n, 0, -1):
+            if upd[p, level] == 0:
+                continue
+            need_llr.discard(level)  # written
+            if level > 1:
+                need_llr.add(level - 1)  # parent read
+            if upd[p, level] == 2:
+                need_bit.add(level)  # g reads stored left bits
+
+    return upd, store, frozen, infoidx, llr_live, bit_live
 
 
 def _softplus(x):
@@ -129,7 +172,7 @@ def _select_m(rows, idx):
 
 def _kernel_body(
     # scalar-prefetch (SMEM)
-    upd_ref, store_ref, frozen_ref, infoidx_ref,
+    upd_ref, store_ref, frozen_ref, infoidx_ref, llrlive_ref, bitlive_ref,
     # inputs (VMEM blocks)
     llr_ref,      # [N, BT] channel LLRs
     forced_ref,   # [K, BT] int32 plan (−1 free / 0 / 1)
@@ -265,14 +308,28 @@ def _kernel_body(
                 parents.append(par)
                 bits.append(idxs[m] - 2.0 * par)
 
-            # clone-by-gather into the double buffer
-            for m in range(M):
-                acc = None
-                for p in range(M):
-                    contrib = jnp.where(parents[m] == float(p), state_ref[p], 0.0)
-                    acc = contrib if acc is None else acc + contrib
-                state2_ref[m] = acc
-            state_ref[...] = state2_ref[...]
+            # Clone-by-gather, restricted to levels still live at this
+            # fork (exact reverse-schedule liveness; dead rows are always
+            # rewritten before their next read).
+            def gather_rows(r0, r1):
+                for m in range(M):
+                    acc = None
+                    for p in range(M):
+                        contrib = jnp.where(
+                            parents[m] == float(p), state_ref[p, r0:r1, :], 0.0
+                        )
+                        acc = contrib if acc is None else acc + contrib
+                    state2_ref[m, r0:r1, :] = acc
+                state_ref[:, r0:r1, :] = state2_ref[:, r0:r1, :]
+
+            for level in range(1, n + 1):
+                @pl.when(llrlive_ref[phase, level] == 1)
+                def _(level=level):
+                    gather_rows(off[level], off[level] + (N >> level))
+
+                @pl.when(bitlive_ref[phase, level] == 1)
+                def _(level=level):
+                    gather_rows(SB + off[level], SB + off[level] + (N >> level))
             pm_ref[...] = jnp.concatenate(pmc[:M], axis=0)
 
             # traces (leaf is indexed by the *old* slot = parent)
@@ -351,7 +408,7 @@ def _build_kernel_for(
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
-    upd, store, frozen, infoidx = _schedule_tables(N, info_np)
+    upd, store, frozen, infoidx, llr_live, bit_live = _schedule_tables(N, info_np)
     Hc = np.asarray(check_matrix(crc, K)) if crc is not None else None
     n_state = 2 * (N - 1)
 
@@ -387,7 +444,7 @@ def _build_kernel_for(
     def run(llr_t: jnp.ndarray, forced_t: jnp.ndarray):
         B = llr_t.shape[1]
         gs = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=6,
             grid=(B // BT,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -404,7 +461,8 @@ def _build_kernel_for(
             interpret=interpret,
         )(
             jnp.asarray(upd), jnp.asarray(store), jnp.asarray(frozen),
-            jnp.asarray(infoidx), llr_t, forced_t, jnp.asarray(hc_arr),
+            jnp.asarray(infoidx), jnp.asarray(llr_live), jnp.asarray(bit_live),
+            llr_t, forced_t, jnp.asarray(hc_arr),
         )
         return bits_t, llrs_t, pass_t
 
