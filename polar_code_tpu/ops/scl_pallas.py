@@ -511,4 +511,54 @@ def decode_scl_pallas(
     }
 
 
-__all__ = ["decode_scl_pallas"]
+def decode_scl_pallas_sharded(
+    llr: jnp.ndarray,
+    info_set,
+    M: int,
+    crc: Optional[str] = None,
+    *,
+    mesh,
+    axis_name: str = "frames",
+    force_info_bits: Optional[jnp.ndarray] = None,
+    block_batch: int = 128,
+    interpret: bool = False,
+) -> dict:
+    """Kernel decode over a device mesh: shard_map over the frame axis.
+
+    Each device runs the fused kernel on its local batch shard; there is no
+    cross-device communication inside the decode (frames are independent).
+    `llr.shape[0]` must be divisible by mesh size × block_batch.
+    """
+
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = len(mesh.devices.flat)
+    B = int(llr.shape[0])
+    if B % (n_dev * block_batch):
+        raise ValueError(
+            f"batch {B} must be divisible by devices×block ({n_dev}×{block_batch})"
+        )
+    K = int(np.asarray(info_set).size)
+    if force_info_bits is None:
+        force_info_bits = jnp.full((B, K), -1, jnp.int8)
+
+    def local(llr_l, forced_l):
+        return decode_scl_pallas(
+            llr_l, info_set, M, crc, force_info_bits=forced_l,
+            block_batch=block_batch, interpret=interpret,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs={
+            "best_path_bits": P(axis_name, None),
+            "best_path_info_llrs": P(axis_name, None),
+            "crc_pass": P(axis_name),
+        },
+        check_vma=False,
+    )(llr, force_info_bits)
+
+
+__all__ = ["decode_scl_pallas", "decode_scl_pallas_sharded"]
