@@ -101,6 +101,12 @@ def _schedule_tables(N: int, info_np: np.ndarray):
         if level > 0:
             store[phase, level] = 1
 
+    # g-level per phase: phase 0 has none (pure f-descent, sentinel 0)
+    glevel = np.zeros(N, np.int32)
+    for phase in range(1, N):
+        k = (phase & -phase).bit_length() - 1
+        glevel[phase] = n - k
+
     frozen = _frozen_mask(N, info_np).astype(np.int32)
     infoidx = np.zeros(N, np.int32)
     idx = 0
@@ -151,7 +157,7 @@ def _schedule_tables(N: int, info_np: np.ndarray):
             if upd[p, level] == 2:
                 need_bit.add(level)  # g reads stored left bits
 
-    return upd, store, frozen, infoidx, llr_live, bit_live
+    return upd, store, frozen, infoidx, llr_live, bit_live, glevel
 
 
 def _softplus(x):
@@ -172,7 +178,7 @@ def _select_m(rows, idx):
 
 def _kernel_body(
     # scalar-prefetch (SMEM)
-    upd_ref, store_ref, frozen_ref, infoidx_ref, llrlive_ref, bitlive_ref,
+    glevel_ref, store_ref, frozen_ref, infoidx_ref, llrlive_ref, bitlive_ref,
     # inputs (VMEM blocks)
     llr_ref,      # [N, BT] channel LLRs
     forced_ref,   # [K, BT] int32 plan (−1 free / 0 / 1)
@@ -217,50 +223,61 @@ def _kernel_body(
     sort_pairs_2m = _batcher_pairs(2 * M)
     sort_pairs_m = _batcher_pairs(M) if M > 1 else []
 
-    def propagate(phase, cur):
-        """Partial-sum combine chain; only the scheduled store lands."""
+    def propagate(phase, cur0):
+        """Partial-sum combine chain, specialized per store level.
 
-        for level in range(n, 0, -1):
-            @pl.when(store_ref[phase, level] == 1)
-            def _(cur=cur, level=level):
-                state_ref[:, brows(level), :] = cur
-            if level > 1:
-                left = state_ref[:, brows(level), :]
-                xor = left + cur - 2.0 * left * cur
-                cur = jnp.concatenate([xor, cur], axis=1)
+        Exactly one store level is scheduled per phase (none on the last
+        phase), so only one branch executes; its chain length matches the
+        trailing-ones run of the phase index — average cost O(1) rows
+        instead of the full N−1-row unconditional chain.
+        """
+
+        for s in range(n, 0, -1):
+            @pl.when(store_ref[phase, s] == 1)
+            def _(s=s):
+                cur = cur0
+                for level in range(n, s, -1):
+                    left = state_ref[:, brows(level), :]
+                    xor = left + cur - 2.0 * left * cur
+                    cur = jnp.concatenate([xor, cur], axis=1)
+                state_ref[:, brows(s), :] = cur
+
+    def _parent_halves(level):
+        half = N >> level
+        if level == 1:
+            return llr_ref[:half, :], llr_ref[half : 2 * half, :]
+        parent = state_ref[:, lrows(level - 1), :]
+        return parent[:, :half, :], parent[:, half:, :]
+
+    def _apply_f(level):
+        a, b = _parent_halves(level)
+        f = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+        if f.ndim == 2:
+            f = jnp.broadcast_to(f, (M, N >> level, BT))
+        state_ref[:, lrows(level), :] = f
+
+    def _apply_g(level):
+        a, b = _parent_halves(level)
+        c = state_ref[:, brows(level), :]
+        state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
 
     def phase_body(phase, _):
-        # 1. f/g LLR updates per level (static unroll; scheduled by table)
-        for level in range(1, n + 1):
-            half = N >> level
-            op = upd_ref[phase, level]
-            if level == 1:
-                a = llr_ref[:half, :]
-                b = llr_ref[half : 2 * half, :]
+        # 1. LLR updates, specialized by the phase's g-level: one g at that
+        # level followed by an f-descent to the leaf.  Exactly one branch
+        # executes; phase 0 (sentinel 0) is the pure f-descent.
+        gl = glevel_ref[phase]
 
-                @pl.when(op == 1)
-                def _(a=a, b=b, level=level, half=half):
-                    f = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
-                    state_ref[:, lrows(level), :] = jnp.broadcast_to(f, (M, half, BT))
+        @pl.when(gl == 0)
+        def _():
+            for level in range(1, n + 1):
+                _apply_f(level)
 
-                @pl.when(op == 2)
-                def _(a=a, b=b, level=level, half=half):
-                    c = state_ref[:, brows(level), :]
-                    state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
-            else:
-                parent = state_ref[:, lrows(level - 1), :]
-                a = parent[:, :half, :]
-                b = parent[:, half:, :]
-
-                @pl.when(op == 1)
-                def _(a=a, b=b, level=level):
-                    f = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
-                    state_ref[:, lrows(level), :] = f
-
-                @pl.when(op == 2)
-                def _(a=a, b=b, level=level):
-                    c = state_ref[:, brows(level), :]
-                    state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
+        for g_level in range(1, n + 1):
+            @pl.when(gl == g_level)
+            def _(g_level=g_level):
+                _apply_g(g_level)
+                for level in range(g_level + 1, n + 1):
+                    _apply_f(level)
 
         leaf = state_ref[:, off[n] : off[n] + 1, :]  # [M, 1, BT]
         fz = frozen_ref[phase]
@@ -322,7 +339,11 @@ def _kernel_body(
                     state2_ref[m, r0:r1, :] = acc
                 state_ref[:, r0:r1, :] = state2_ref[:, r0:r1, :]
 
-            for level in range(1, n + 1):
+            # Large levels gather conditionally (liveness saves real work);
+            # small-level tails gather unconditionally in one contiguous
+            # block each (branch overhead would exceed the savings).
+            cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
+            for level in cond_levels:
                 @pl.when(llrlive_ref[phase, level] == 1)
                 def _(level=level):
                     gather_rows(off[level], off[level] + (N >> level))
@@ -330,6 +351,10 @@ def _kernel_body(
                 @pl.when(bitlive_ref[phase, level] == 1)
                 def _(level=level):
                     gather_rows(SB + off[level], SB + off[level] + (N >> level))
+            tail = cond_levels[-1] + 1 if cond_levels else 1
+            if tail <= n:
+                gather_rows(off[tail], N - 1)
+                gather_rows(SB + off[tail], SB + N - 1)
             pm_ref[...] = jnp.concatenate(pmc[:M], axis=0)
 
             # traces (leaf is indexed by the *old* slot = parent)
@@ -408,7 +433,7 @@ def _build_kernel_for(
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
-    upd, store, frozen, infoidx, llr_live, bit_live = _schedule_tables(N, info_np)
+    upd, store, frozen, infoidx, llr_live, bit_live, glevel = _schedule_tables(N, info_np)
     Hc = np.asarray(check_matrix(crc, K)) if crc is not None else None
     n_state = 2 * (N - 1)
 
@@ -460,7 +485,7 @@ def _build_kernel_for(
             ],
             interpret=interpret,
         )(
-            jnp.asarray(upd), jnp.asarray(store), jnp.asarray(frozen),
+            jnp.asarray(glevel), jnp.asarray(store), jnp.asarray(frozen),
             jnp.asarray(infoidx), jnp.asarray(llr_live), jnp.asarray(bit_live),
             llr_t, forced_t, jnp.asarray(hc_arr),
         )
