@@ -74,7 +74,9 @@ def main() -> None:
     jax.device_get(step(jax.random.key(0)))
 
     t0 = time.perf_counter()
-    outs = [jax.device_get(step(jax.random.key(1 + i))) for i in range(args.iters)]
+    # dispatch all steps asynchronously (distinct keys), then one sync
+    outs = [step(jax.random.key(1 + i)) for i in range(args.iters)]
+    outs = jax.device_get(outs)
     dt = time.perf_counter() - t0
 
     total = args.batch * args.iters

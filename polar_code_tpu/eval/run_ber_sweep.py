@@ -85,13 +85,22 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
     for point_idx, EbN0_dB in enumerate(EbN0_values):
         nv = _noise_var(float(EbN0_dB), args.K_payload, args.E)
         acc = {"bit_errors": 0, "frame_errors": 0, "bits_total": 0, "frames": 0, "work_sum": 0.0}
+        # keep one chunk in flight so host accounting overlaps device compute
         chunk_idx = 0
-        while acc["bit_errors"] < args.err_cap and acc["bits_total"] < args.bits_cap:
+
+        def dispatch():
+            nonlocal chunk_idx
             key = fold_key(root_key, point_idx, chunk_idx)
-            out = jax.device_get(chunk_fn(key, nv))
+            chunk_idx += 1
+            return chunk_fn(key, nv)
+
+        inflight = [dispatch()]
+        while acc["bit_errors"] < args.err_cap and acc["bits_total"] < args.bits_cap:
+            inflight.append(dispatch())
+            out = jax.device_get(inflight.pop(0))
             for k in acc:
                 acc[k] += float(out[k]) if k == "work_sum" else int(out[k])
-            chunk_idx += 1
+        del inflight  # any extra speculative chunk is simply not counted
 
         ber = acc["bit_errors"] / acc["bits_total"] if acc["bits_total"] else float("nan")
         fer = acc["frame_errors"] / acc["frames"] if acc["frames"] else float("nan")

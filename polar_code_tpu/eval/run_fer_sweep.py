@@ -69,15 +69,17 @@ def run_sweep(args: argparse.Namespace) -> None:
 
         acc: Dict[str, int] = {}
         total_frames = 0
+        # dispatch all chunks asynchronously (fixed frame budget), sync once
+        pending = []
         chunk_idx = 0
         while total_frames < args.frames:
             key = fold_key(root_key, snr_tag, chunk_idx)
-            out = chunk_fn(key, nv_c, nv_u)
-            out = {k: int(v) for k, v in jax.device_get(out).items()}
-            for k, v in out.items():
-                acc[k] = acc.get(k, 0) + v
+            pending.append(chunk_fn(key, nv_c, nv_u))
             total_frames += batch
             chunk_idx += 1
+        for out in jax.device_get(pending):
+            for k, v in out.items():
+                acc[k] = acc.get(k, 0) + int(v)
         frames_done += total_frames
 
         row = {
