@@ -14,7 +14,7 @@ reference protocol).
 from __future__ import annotations
 
 import argparse
-import math
+
 import time
 from pathlib import Path
 from typing import Dict, List

@@ -32,9 +32,9 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Optional, Tuple
+from typing import Tuple
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -9,7 +9,7 @@ workloads should call `legacy.pac` batched functions directly.
 from __future__ import annotations
 
 import math
-from typing import Optional
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ decoder (`ops/scl.py`).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

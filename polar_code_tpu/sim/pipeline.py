@@ -15,7 +15,7 @@ whole Eb/N0 sweep.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax

@@ -22,7 +22,7 @@ from typing import List
 import numpy as np
 
 from .. import config
-from ..channel import awgn_llr, bpsk, noise_var_coded
+from ..channel import awgn_llr, noise_var_coded
 from ..ops.crc import attach_crc
 from ..ops.scl import decode_scl_batch
 from ..polar.api import encode
