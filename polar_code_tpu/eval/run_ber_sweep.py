@@ -96,11 +96,12 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
 
         inflight = [dispatch()]
         while acc["bit_errors"] < args.err_cap and acc["bits_total"] < args.bits_cap:
-            inflight.append(dispatch())
+            while len(inflight) < 3:  # keep the device queue full
+                inflight.append(dispatch())
             out = jax.device_get(inflight.pop(0))
             for k in acc:
                 acc[k] += float(out[k]) if k == "work_sum" else int(out[k])
-        del inflight  # any extra speculative chunk is simply not counted
+        del inflight  # speculative chunks past the caps are simply not counted
 
         ber = acc["bit_errors"] / acc["bits_total"] if acc["bits_total"] else float("nan")
         fer = acc["frame_errors"] / acc["frames"] if acc["frames"] else float("nan")

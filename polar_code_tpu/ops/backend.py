@@ -42,6 +42,7 @@ def resolve_backend(
         return "xla"
     eligible = (
         (M & (M - 1)) == 0
+        and M <= 8  # VMEM budget: per-path state + traces at BT=128
         and batch % PALLAS_BLOCK == 0
         and jnp.dtype(dtype) == jnp.float32
         and not multi_device

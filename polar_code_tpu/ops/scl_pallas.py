@@ -14,17 +14,20 @@ math, reference `dl_scl_polar/polar/scl.py`):
 * Compact per-path state: one active node per tree level — LLR rows
   (N−1) + partial-sum rows (N−1) per path, unified in a single f32 VMEM
   buffer (bits stored as 0.0/1.0; XOR = a + b − 2ab).
-* The phase loop is a `fori_loop` with a *uniform* body: per-phase f/g
-  level updates and partial-sum stores are selected by SMEM-prefetched
-  schedule tables (op ∈ {none, f, g} per (phase, level)); the partial-sum
-  combine chain is computed unconditionally and only the scheduled store
-  lands.  This keeps the Mosaic graph small (fast compile) at the cost of
-  a little redundant VPU work.
+* The phase loop is a `fori_loop` whose body is *specialized by schedule
+  branches* driven by SMEM-prefetched tables: one branch per possible
+  g-level runs exactly the needed g + f-descent; one branch per possible
+  partial-sum store level runs exactly the needed combine chain (average
+  O(1) rows/phase).  Only one branch of each family executes per phase,
+  so the Mosaic graph stays small while the executed instruction stream
+  is minimal.
 * Fork/prune at info phases: 2M candidate metrics with the exact
   `log(1+e^∓LLR)` penalty; a Batcher odd-even sorting network over
   (metric, creation-index) pairs reproduces the reference's stable sort
   bit-for-bit; clone-by-gather is an M² masked-select into a double
-  buffer.  Unused list slots carry +inf metrics.
+  buffer, restricted to the state rows still *live* at that fork (exact
+  reverse-schedule liveness; small-level tails gather unconditionally to
+  avoid branch overhead).  Unused list slots carry +inf metrics.
 * Path histories are NOT gathered every phase: (parent, bit, leaf-LLR)
   traces are recorded per info phase and the M candidates are
   reconstructed by a backtracking loop at the end — this removes the
