@@ -76,6 +76,8 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
         K_crc=args.K_crc, crc_poly=args.crc_poly, info_set=info_set,
         M=args.M, retries=args.retries, beta=beta, ilv_mode=args.ilv_mode,
         H=H, max_iter=args.max_iter, alpha=args.alpha, batch=batch, mesh=mesh,
+        ldpc_bg=load_base_graph(args.bg) if args.scheme == "nr_ldpc" else None,
+        ldpc_Z=args.Z if args.scheme == "nr_ldpc" else None,
     )
     root_key = make_key(args.seed)
 

@@ -138,6 +138,8 @@ def make_ber_chunk(
     dtype=jnp.float32,
     mesh=None,
     backend: str = "auto",
+    ldpc_bg=None,
+    ldpc_Z: Optional[int] = None,
 ):
     """Build the jitted unified-BER-sweep chunk: (key, σ²) → counters.
 
@@ -152,11 +154,23 @@ def make_ber_chunk(
     multi = mesh is not None and len(mesh.devices.flat) > 1
     from ..ops.backend import resolve_backend
 
-    decode_backend = (
-        resolve_backend(backend, batch=batch, M=M, dtype=dtype, multi_device=multi)
-        if scheme != "nr_ldpc"
-        else "xla"
-    )
+    if scheme != "nr_ldpc":
+        decode_backend = resolve_backend(
+            backend, batch=batch, M=M, dtype=dtype, multi_device=multi
+        )
+    else:
+        # the fused NMS kernel needs the circulant structure (bg, Z)
+        from ..ops.backend import on_tpu
+
+        ldpc_kernel = (
+            backend != "xla"
+            and ldpc_bg is not None
+            and ldpc_Z is not None
+            and batch % 256 == 0
+            and not multi
+            and on_tpu()
+        )
+        decode_backend = "pallas" if ldpc_kernel else "xla"
 
     def chunk(key, noise_var):
         kp, kn = jax.random.split(key)
@@ -202,9 +216,16 @@ def make_ber_chunk(
             candidate = res["best_path_bits"][:, :K_payload]
         else:  # nr_ldpc
             internal = derate_match_ldpc(llr, int(H.shape[1]))
-            res = decode_ldpc_nms_batch(
-                internal, H, max_iter=max_iter, alpha=alpha, dtype=dtype
-            )
+            if decode_backend == "pallas":
+                from ..nr.ldpc.nms_pallas import decode_ldpc_nms_pallas
+
+                res = decode_ldpc_nms_pallas(
+                    internal, ldpc_bg, ldpc_Z, max_iter=max_iter, alpha=alpha
+                )
+            else:
+                res = decode_ldpc_nms_batch(
+                    internal, H, max_iter=max_iter, alpha=alpha, dtype=dtype
+                )
             candidate = res["hard"][:, :K_payload]
             work = res["iters_used"].astype(jnp.float32)
 
