@@ -81,10 +81,28 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
     )
     root_key = make_key(args.seed)
 
+    from ..utils.resume import SweepState
+
+    state = SweepState(
+        args.state,
+        {
+            "sweep": "ber", "scheme": args.scheme, "K_payload": args.K_payload,
+            "K_crc": args.K_crc, "E": args.E, "N": N, "M": args.M,
+            "retries": args.retries, "seed": args.seed, "batch": batch,
+            "err_cap": args.err_cap, "bits_cap": args.bits_cap,
+            "beta": args.beta or "", "bg": args.bg, "Z": args.Z,
+            "max_iter": args.max_iter, "alpha": args.alpha,
+        },
+    )
+
     EbN0_values = np.arange(args.EbN0_lo, args.EbN0_hi + 1e-12, args.EbN0_step)
     rows: List[Dict[str, float]] = []
 
     for point_idx, EbN0_dB in enumerate(EbN0_values):
+        cached = state.get(float(EbN0_dB))
+        if cached is not None:
+            rows.append(cached)
+            continue
         nv = _noise_var(float(EbN0_dB), args.K_payload, args.E)
         acc = {"bit_errors": 0, "frame_errors": 0, "bits_total": 0, "frames": 0, "work_sum": 0.0}
         # keep one chunk in flight so host accounting overlaps device compute
@@ -108,7 +126,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
         ber = acc["bit_errors"] / acc["bits_total"] if acc["bits_total"] else float("nan")
         fer = acc["frame_errors"] / acc["frames"] if acc["frames"] else float("nan")
         avg_work = acc["work_sum"] / acc["frames"] if acc["frames"] else 0.0
-        rows.append({
+        row = {
             "scheme": args.scheme,
             "code": args.scheme,
             "N_or_E": args.E,
@@ -122,7 +140,9 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
             "ber": ber,
             "fer": fer,
             "avg_work": avg_work,
-        })
+        }
+        state.record(float(EbN0_dB), row)
+        rows.append(row)
     return rows
 
 
@@ -187,6 +207,10 @@ def parse_args(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
     parser.add_argument("--out", type=str, required=True, help="CSV output path")
     parser.add_argument("--plot", type=str, help="Optional plot path")
     parser.add_argument("--batch", type=int, default=2048, help="Frames per device chunk")
+    parser.add_argument(
+        "--state", type=str, default=None,
+        help="Optional JSON state file for checkpoint/resume of sweep points",
+    )
     args = parser.parse_args(list(argv) if argv is not None else None)
 
     if args.scheme == "dl_scl" and not args.beta:

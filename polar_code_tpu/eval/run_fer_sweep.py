@@ -58,11 +58,27 @@ def run_sweep(args: argparse.Namespace) -> None:
     )
     root_key = make_key(args.seed)
 
+    from ..utils.resume import SweepState
+
+    state = SweepState(
+        args.state,
+        {
+            "sweep": "fer", "M": args.M, "frames": args.frames,
+            "retries": args.retries, "seed": args.seed, "batch": batch,
+            "beta": args.beta or "", "include_uncoded": bool(args.include_uncoded),
+        },
+    )
+
     results: List[Dict[str, float]] = []
     t_start = time.perf_counter()
     frames_done = 0
 
     for snr_db in snr_points:
+        cached = state.get(float(snr_db))
+        if cached is not None:
+            print(f"SNR={snr_db:.2f} dB -> resumed from state")
+            results.append(cached)
+            continue
         nv_c = noise_var_coded(float(snr_db), cfg.K, cfg.N)
         nv_u = noise_var_uncoded(float(snr_db))
         snr_tag = int(round(float(snr_db) * 10))
@@ -104,6 +120,7 @@ def run_sweep(args: argparse.Namespace) -> None:
                 f"BER={row['ber_scl']:.3e}; "
                 f"DL FER={row['fer_dl']:.3e}, BER={row['ber_dl']:.3e}"
             )
+        state.record(float(snr_db), row)
         results.append(row)
 
     elapsed = time.perf_counter() - t_start
@@ -186,6 +203,11 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--batch", type=int, default=4096,
         help="Device batch (frames per jit step, rounded to the device count)",
+    )
+    parser.add_argument(
+        "--state", type=str, default=None,
+        help="Optional JSON state file: completed Eb/N0 points are recorded "
+             "and skipped on re-run (checkpoint/resume for long sweeps)",
     )
     return parser
 
