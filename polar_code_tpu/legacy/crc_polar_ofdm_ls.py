@@ -22,7 +22,7 @@ from .ofdm_channel_estimation import (
     ls_channel_estimate,
     rayleigh_frequency_response,
 )
-from .pac import pac_encode_batch, pac_list_decode_batch
+from .pac import pac_decode, pac_encode_batch
 from .rate_profile import rateprofile
 
 DEFAULT_SNR_POINTS = tuple(float(f"{x:.1f}") for x in np.arange(-2.0, 6.5, 0.5))
@@ -177,10 +177,10 @@ def simulate(config: SimulationConfig) -> List[SimulationResult]:
                 crc_poly=config.crc_poly,
             )
             ls_dec = np.asarray(
-                pac_list_decode_batch(jnp.asarray(ls_llr), mask, [1], config.list_size, **kw)["extracted"]
+                pac_decode(jnp.asarray(ls_llr), mask, [1], config.list_size, **kw)["extracted"]
             )
             perf_dec = np.asarray(
-                pac_list_decode_batch(jnp.asarray(perf_llr), mask, [1], config.list_size, **kw)["extracted"]
+                pac_decode(jnp.asarray(perf_llr), mask, [1], config.list_size, **kw)["extracted"]
             )
 
             ls_errs = (ls_dec != messages).sum(axis=1)

@@ -19,7 +19,7 @@ import numpy as np
 
 from .channel import channel
 from .crclib import crc
-from .pac import pac_encode_batch, pac_list_decode_batch
+from .pac import pac_decode, pac_encode_batch
 from .rate_profile import rateprofile
 
 DEFAULT_SNR_POINTS = tuple(float(f"{x:.1f}") for x in np.arange(-2.0, 6.5, 0.5))
@@ -96,7 +96,7 @@ def simulate(config: SimulationConfig) -> List[SimulationResult]:
             )
             noisy = ch_coded.add_noise(ch_coded.modulate(codewords))
             llr = ch_coded.calc_llr3(noisy)
-            res = pac_list_decode_batch(
+            res = pac_decode(
                 jnp.asarray(llr), mask, [1], config.list_size,
                 crc_len=config.crc_length if crc_obj is not None else 0,
                 crc_poly=config.crc_poly,

@@ -271,4 +271,45 @@ def pac_list_decode_batch(
     }
 
 
-__all__ = ["pac_encode_batch", "pac_list_decode_batch", "conv_transform_matrix"]
+def pac_decode(
+    llr: jnp.ndarray,
+    mask: np.ndarray,
+    gen,
+    L: int,
+    *,
+    crc_len: int = 0,
+    crc_poly: int = 0,
+    backend: str = "auto",
+) -> dict:
+    """Decode with the fastest eligible backend.
+
+    Returns at least {"extracted", "crc_pass"}; the XLA path additionally
+    returns candidates/metrics/v_full.
+    """
+
+    B = int(llr.shape[0])
+    if backend != "xla":
+        from ..ops.backend import PALLAS_BLOCK, on_tpu
+
+        eligible = (
+            (L & (L - 1)) == 0 and L <= 8 and B % PALLAS_BLOCK == 0 and on_tpu()
+        )
+        if eligible:
+            from .pac_pallas import pac_list_decode_pallas
+
+            return pac_list_decode_pallas(
+                llr, mask, gen, L, crc_len=crc_len, crc_poly=crc_poly
+            )
+        if backend == "pallas":
+            raise ValueError(
+                "pallas backend requires TPU, power-of-two L ≤ 8, batch % 128 == 0"
+            )
+    return pac_list_decode_batch(llr, mask, gen, L, crc_len=crc_len, crc_poly=crc_poly)
+
+
+__all__ = [
+    "pac_encode_batch",
+    "pac_list_decode_batch",
+    "pac_decode",
+    "conv_transform_matrix",
+]

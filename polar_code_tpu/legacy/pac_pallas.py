@@ -1,0 +1,410 @@
+"""Pallas TPU kernel: fused PAC list decode (legacy hot core).
+
+Same semantics as `legacy/pac.py::pac_list_decode_batch` (reference
+`polar_code.py` decoder): bit-reversed leaf order, hard-decision path metric
+(penalize when the convolved edge bit disagrees with the channel hard
+decision), [good×L, bad×L] stable candidate layout, CRC-first-else-best
+selection.
+
+Kernel structure mirrors `ops/scl_pallas.py` (schedule-table-driven
+`fori_loop`, liveness-restricted clone-by-gather, Batcher network,
+trace backtracking) with three deltas:
+
+* the channel LLRs arrive bit-reversal-permuted (adjacent-pair butterfly ≡
+  halves butterfly on permuted input),
+* a per-path convolutional shift register ([L, mem, BT] in VMEM) supplies
+  the edge bit; partial sums propagate edge (u-domain) bits,
+* candidate metrics are `pm` (good branch: edge == hard) and `pm + |LLR|`
+  (bad branch), so no transcendentals at all.
+
+Output bits are in decode (phase) order; the wrapper permutes them to the
+ascending-u extraction order of the reference API.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.crc import check_matrix
+from ..ops.scl_pallas import _batcher_pairs, _schedule_tables, _select_m
+from .rate_profile import bitreversed
+
+_BIG = 3.0e38
+
+
+def _kernel_body(
+    # scalar prefetch
+    glevel_ref, store_ref, frozen_ref, infoidx_ref, llrlive_ref, bitlive_ref,
+    # inputs
+    llr_ref,   # [N, BT] bit-rev-permuted channel LLRs
+    hc_ref,    # [deg, Kp] permuted CRC check matrix (dummy when unused)
+    # outputs
+    bits_ref,  # [Kp, BT] i32 best-path v bits in phase order
+    pass_ref,  # [1, BT] i32
+    # scratch
+    state_ref, state2_ref,   # [L, 2(N−1), BT] f32 (llr rows ‖ edge-bit rows)
+    pm_ref,                  # [L, BT] f32
+    conv_ref, conv2_ref,     # [L, mem, BT] f32 shift registers
+    tparent_ref, tbit_ref,   # [Kp, L, BT] f32 traces
+    cbits_ref,               # [Kp, L, BT] f32 reconstructed candidates
+    curidx_ref,              # [L, BT] f32
+    *,
+    N: int, L: int, Kp: int, mem: int, taps: Tuple[int, ...], use_crc: bool,
+):
+    n = int(math.log2(N))
+    BT = llr_ref.shape[1]
+    off = {}
+    o = 0
+    for level in range(1, n + 1):
+        off[level] = o
+        o += N >> level
+    SB = N - 1
+
+    def lrows(level):
+        return slice(off[level], off[level] + (N >> level))
+
+    def brows(level):
+        return slice(SB + off[level], SB + off[level] + (N >> level))
+
+    state_ref[...] = jnp.zeros_like(state_ref)
+    conv_ref[...] = jnp.zeros_like(conv_ref)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (L, BT), 0)
+    pm_ref[...] = jnp.where(slot == 0, 0.0, _BIG)
+
+    sort_pairs_2l = _batcher_pairs(2 * L)
+    sort_pairs_l = _batcher_pairs(L) if L > 1 else []
+
+    def conv_base():
+        # parity of state · gen[1:] — edge bit for v = 0
+        acc = None
+        for t, g in enumerate(taps):
+            if g == 1:
+                row = conv_ref[:, t, :]
+                acc = row if acc is None else acc + row
+        if acc is None:
+            return jnp.zeros((L, BT), jnp.float32)
+        return acc - 2.0 * jnp.floor(acc * 0.5)
+
+    def conv_shift(v_bits):
+        # state ← [v, state[:-1]]
+        if mem == 0:
+            return
+        old = conv_ref[:, : mem - 1, :] if mem > 1 else None
+        if old is not None:
+            shifted = jnp.concatenate([v_bits[:, None, :], old], axis=1)
+        else:
+            shifted = v_bits[:, None, :]
+        conv_ref[...] = shifted
+
+    def _parent_halves(level):
+        half = N >> level
+        if level == 1:
+            return llr_ref[:half, :], llr_ref[half : 2 * half, :]
+        parent = state_ref[:, lrows(level - 1), :]
+        return parent[:, :half, :], parent[:, half:, :]
+
+    def _apply_f(level):
+        a, b = _parent_halves(level)
+        f = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+        if f.ndim == 2:
+            f = jnp.broadcast_to(f, (L, N >> level, BT))
+        state_ref[:, lrows(level), :] = f
+
+    def _apply_g(level):
+        a, b = _parent_halves(level)
+        c = state_ref[:, brows(level), :]
+        state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
+
+    def propagate(phase, cur0):
+        for s in range(n, 0, -1):
+            @pl.when(store_ref[phase, s] == 1)
+            def _(s=s):
+                cur = cur0
+                for level in range(n, s, -1):
+                    left = state_ref[:, brows(level), :]
+                    xor = left + cur - 2.0 * left * cur
+                    cur = jnp.concatenate([xor, cur], axis=1)
+                state_ref[:, brows(s), :] = cur
+
+    def phase_body(phase, _):
+        gl = glevel_ref[phase]
+
+        @pl.when(gl == 0)
+        def _():
+            for level in range(1, n + 1):
+                _apply_f(level)
+
+        for g_level in range(1, n + 1):
+            @pl.when(gl == g_level)
+            def _(g_level=g_level):
+                _apply_g(g_level)
+                for level in range(g_level + 1, n + 1):
+                    _apply_f(level)
+
+        leaf = state_ref[:, off[n] : off[n] + 1, :][:, 0, :]  # [L, BT]
+        hard = jnp.where(leaf < 0.0, 1.0, 0.0)
+        base = conv_base()
+        fz = frozen_ref[phase]
+
+        @pl.when(fz == 1)
+        def _():
+            pen = jnp.where(base != hard, jnp.abs(leaf), 0.0)
+            pm_ref[...] = pm_ref[...] + pen
+            conv_shift(jnp.zeros((L, BT), jnp.float32))
+            propagate(phase, base[:, None, :])
+
+        @pl.when(fz == 0)
+        def _():
+            i = infoidx_ref[phase]
+            v_good = base + hard - 2.0 * base * hard  # XOR
+            pen = jnp.abs(leaf)
+            pmc = [pm_ref[p : p + 1, :] for p in range(L)]
+            pmc += [pm_ref[p : p + 1, :] + pen[p : p + 1, :] for p in range(L)]
+            idxs = [jnp.full((1, BT), float(c), jnp.float32) for c in range(2 * L)]
+            for ia, ib in sort_pairs_2l:
+                swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
+                pa, pb = pmc[ia], pmc[ib]
+                xa, xb = idxs[ia], idxs[ib]
+                pmc[ia] = jnp.where(swap, pb, pa)
+                pmc[ib] = jnp.where(swap, pa, pb)
+                idxs[ia] = jnp.where(swap, xb, xa)
+                idxs[ib] = jnp.where(swap, xa, xb)
+
+            parents = []
+            badflags = []
+            for m in range(L):
+                is_bad = jnp.where(idxs[m] >= float(L), 1.0, 0.0)
+                parents.append(idxs[m] - float(L) * is_bad)
+                badflags.append(is_bad)
+
+            def gather_rows(r0, r1):
+                for m in range(L):
+                    acc = None
+                    for p in range(L):
+                        contrib = jnp.where(
+                            parents[m] == float(p), state_ref[p, r0:r1, :], 0.0
+                        )
+                        acc = contrib if acc is None else acc + contrib
+                    state2_ref[m, r0:r1, :] = acc
+                state_ref[:, r0:r1, :] = state2_ref[:, r0:r1, :]
+
+            cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
+            for level in cond_levels:
+                @pl.when(llrlive_ref[phase, level] == 1)
+                def _(level=level):
+                    gather_rows(off[level], off[level] + (N >> level))
+
+                @pl.when(bitlive_ref[phase, level] == 1)
+                def _(level=level):
+                    gather_rows(SB + off[level], SB + off[level] + (N >> level))
+            tail = cond_levels[-1] + 1 if cond_levels else 1
+            if tail <= n:
+                gather_rows(off[tail], N - 1)
+                gather_rows(SB + off[tail], SB + N - 1)
+
+            # gather conv state and pm; compute per-path decisions
+            for m in range(L):
+                acc = None
+                for p in range(L):
+                    contrib = jnp.where(parents[m] == float(p), conv_ref[p], 0.0)
+                    acc = contrib if acc is None else acc + contrib
+                conv2_ref[m] = acc
+            conv_ref[...] = conv2_ref[...]
+            pm_ref[...] = jnp.concatenate(pmc[:L], axis=0)
+
+            vg_rows = []
+            base_rows = []
+            for m in range(L):
+                vg_rows.append(_select_m(v_good, parents[m]))
+                base_rows.append(_select_m(base, parents[m]))
+            v_bits = []
+            edges = []
+            for m in range(L):
+                v = vg_rows[m] + badflags[m] - 2.0 * vg_rows[m] * badflags[m]
+                v_bits.append(v)
+                edges.append(base_rows[m] + v - 2.0 * base_rows[m] * v)
+
+            tparent_ref[pl.ds(i, 1)] = jnp.concatenate(parents, axis=0)[None]
+            tbit_ref[pl.ds(i, 1)] = jnp.concatenate(v_bits, axis=0)[None]
+
+            conv_shift(jnp.concatenate(v_bits, axis=0))
+            propagate(phase, jnp.concatenate(edges, axis=0)[:, None, :])
+
+    jax.lax.fori_loop(0, N, phase_body, None)
+
+    # final stable sort, backtrack, CRC selection
+    fpm = [pm_ref[m : m + 1, :] for m in range(L)]
+    fidx = [jnp.full((1, BT), float(m), jnp.float32) for m in range(L)]
+    for ia, ib in sort_pairs_l:
+        swap = (fpm[ia] > fpm[ib]) | ((fpm[ia] == fpm[ib]) & (fidx[ia] > fidx[ib]))
+        pa, pb = fpm[ia], fpm[ib]
+        xa, xb = fidx[ia], fidx[ib]
+        fpm[ia] = jnp.where(swap, pb, pa)
+        fpm[ib] = jnp.where(swap, pa, pb)
+        fidx[ia] = jnp.where(swap, xb, xa)
+        fidx[ib] = jnp.where(swap, xa, xb)
+
+    curidx_ref[...] = jnp.concatenate(fidx, axis=0)
+
+    def bt_body(t, _):
+        i = Kp - 1 - t
+        tb = tbit_ref[pl.ds(i, 1)][0]
+        tp = tparent_ref[pl.ds(i, 1)][0]
+        newcur = []
+        brow = []
+        for r in range(L):
+            ci = curidx_ref[r : r + 1, :]
+            brow.append(_select_m(tb, ci))
+            newcur.append(_select_m(tp, ci))
+        cbits_ref[pl.ds(i, 1)] = jnp.concatenate(brow, axis=0)[None]
+        curidx_ref[...] = jnp.concatenate(newcur, axis=0)
+
+    jax.lax.fori_loop(0, Kp, bt_body, None)
+
+    best = cbits_ref[:, 0, :]
+    done = jnp.zeros((1, BT), jnp.bool_)
+    if use_crc:
+        Hc = hc_ref[...]
+        for r in range(L):
+            cand = cbits_ref[:, r, :]
+            syn = jax.lax.dot_general(
+                Hc, cand, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            syn = syn - 2.0 * jnp.floor(syn * 0.5)
+            ok = (jnp.max(syn, axis=0, keepdims=True) == 0.0) & (fpm[r] < _BIG)
+            take = ok & jnp.logical_not(done)
+            best = jnp.where(take, cand, best)
+            done = done | ok
+
+    bits_ref[...] = best.astype(jnp.int32)
+    pass_ref[...] = done.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=16)
+def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, interpret: bool):
+    mask = np.asarray(mask_key, dtype=np.int64)
+    gen = list(gen_key)
+    mem = len(gen) - 1
+    N = mask.size
+    n = int(math.log2(N))
+    perm = np.array([bitreversed(j, n) for j in range(N)])
+    mask_rev = mask[perm]
+    info_phases = np.where(mask_rev == 1)[0]
+    Kp = int(info_phases.size)
+    _, store, frozen, infoidx, llr_live, bit_live, glevel = _schedule_tables(
+        N, info_phases
+    )
+
+    # phase-order → ascending-u extraction order
+    u_of_phase = perm[info_phases]
+    out_order = np.argsort(u_of_phase)  # extracted[k] = bits_phase[out_order[k]]
+    if crc_len > 0:
+        full_poly = hex((1 << crc_len) | crc_poly)
+        Hc = np.asarray(check_matrix(full_poly, Kp), np.float32)
+        # permute check-matrix columns so it applies to phase-order bits:
+        # extraction-order bit k lives at phase-order row out_order[k]
+        Hc_perm = np.zeros_like(Hc)
+        Hc_perm[:, out_order] = Hc
+    else:
+        Hc_perm = np.zeros((1, 1), np.float32)
+
+    kernel = functools.partial(
+        _kernel_body, N=N, L=L, Kp=Kp, mem=mem,
+        taps=tuple(gen[1:]), use_crc=crc_len > 0,
+    )
+    n_state = 2 * (N - 1)
+
+    def run(llr_perm_t):
+        B = llr_perm_t.shape[1]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(B // BT,),
+            in_specs=[
+                pl.BlockSpec((N, BT), lambda i, *_: (0, i)),
+                pl.BlockSpec(Hc_perm.shape, lambda i, *_: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((Kp, BT), lambda i, *_: (0, i)),
+                pl.BlockSpec((1, BT), lambda i, *_: (0, i)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((L, n_state, BT), jnp.float32),
+                pltpu.VMEM((L, n_state, BT), jnp.float32),
+                pltpu.VMEM((L, BT), jnp.float32),
+                pltpu.VMEM((L, max(mem, 1), BT), jnp.float32),
+                pltpu.VMEM((L, max(mem, 1), BT), jnp.float32),
+                pltpu.VMEM((Kp, L, BT), jnp.float32),
+                pltpu.VMEM((Kp, L, BT), jnp.float32),
+                pltpu.VMEM((Kp, L, BT), jnp.float32),
+                pltpu.VMEM((L, BT), jnp.float32),
+            ],
+        )
+        bits_t, pass_t = pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=[
+                jax.ShapeDtypeStruct((Kp, B), jnp.int32),
+                jax.ShapeDtypeStruct((1, B), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(glevel), jnp.asarray(store), jnp.asarray(frozen),
+            jnp.asarray(infoidx), jnp.asarray(llr_live), jnp.asarray(bit_live),
+            llr_perm_t, jnp.asarray(Hc_perm),
+        )
+        return bits_t, pass_t, out_order, perm
+
+    return run
+
+
+def pac_list_decode_pallas(
+    llr: jnp.ndarray,
+    mask: np.ndarray,
+    gen,
+    L: int,
+    *,
+    crc_len: int = 0,
+    crc_poly: int = 0,
+    block_batch: int = 128,
+    interpret: bool = False,
+) -> dict:
+    """Fused-kernel PAC list decode.  llr: [B, N].
+
+    Returns the fast-path subset: {"extracted" int8 [B, Kp] (ascending-u
+    order, CRC-selected / best metric), "crc_pass" bool [B]}.
+    """
+
+    if L & (L - 1) or L > 8:
+        raise ValueError("kernel supports power-of-two list sizes up to 8")
+    gen = [int(g) for g in gen]
+    if gen[0] != 1:
+        raise ValueError("convolution generator must start with 1")
+    B = int(llr.shape[0])
+    if B % block_batch:
+        raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
+    mask = np.asarray(mask)
+    run = _build(
+        tuple(int(x) for x in mask), tuple(gen), L, crc_len, crc_poly,
+        block_batch, interpret,
+    )
+    n = int(math.log2(mask.size))
+    perm = np.array([bitreversed(j, n) for j in range(mask.size)])
+    llr_perm_t = llr[:, perm].T.astype(jnp.float32)
+    bits_t, pass_t, out_order, _ = run(llr_perm_t)
+    extracted = bits_t.T[:, out_order]  # → ascending-u extraction order
+    return {
+        "extracted": extracted.astype(jnp.int8),
+        "crc_pass": pass_t[0].astype(bool),
+    }
+
+
+__all__ = ["pac_list_decode_pallas"]

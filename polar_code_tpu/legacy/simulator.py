@@ -22,7 +22,7 @@ import numpy as np
 
 from .channel import channel
 from .crclib import crc
-from .pac import pac_encode_batch, pac_list_decode_batch
+from .pac import pac_decode, pac_encode_batch
 from .rate_profile import rateprofile
 
 
@@ -100,7 +100,7 @@ def run(cfg: LegacySimConfig = LegacySimConfig(), out_dir: str = ".") -> BERFER:
             noisy = ch.add_noise(mod)
             llr = ch.calc_llr3(noisy)
 
-            res = pac_list_decode_batch(
+            res = pac_decode(
                 jnp.asarray(llr), mask, cfg.conv_gen, cfg.list_size,
                 crc_len=cfg.crc_len if is_crc else 0, crc_poly=cfg.crc_poly,
             )
@@ -110,7 +110,7 @@ def run(cfg: LegacySimConfig = LegacySimConfig(), out_dir: str = ".") -> BERFER:
             # adaptive second stage: re-decode failed frames with L_max
             failed = np.where(errs > 0)[0]
             if failed.size and cfg.list_size_max > cfg.list_size:
-                res2 = pac_list_decode_batch(
+                res2 = pac_decode(
                     jnp.asarray(llr[failed]), mask, cfg.conv_gen, cfg.list_size_max,
                     crc_len=cfg.crc_len if is_crc else 0, crc_poly=cfg.crc_poly,
                 )
