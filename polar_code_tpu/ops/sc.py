@@ -74,6 +74,16 @@ def sc_decode_batch(
     return u_info.T  # [B, K]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_sc(info_key, dtype_name):
+    info_set = np.asarray(info_key, dtype=np.int64)
+    dtype = jnp.dtype(dtype_name)
+    return jax.jit(lambda llr: sc_decode_batch(llr, info_set, dtype=dtype))
+
+
 def sc_decode(llr: np.ndarray, info_set: np.ndarray) -> np.ndarray:
     """Scalar reference-compatible API: 1D llr → info bits (int8)."""
 
@@ -85,10 +95,10 @@ def sc_decode(llr: np.ndarray, info_set: np.ndarray) -> np.ndarray:
         raise ValueError("info_set must be 1D")
     if np.any(info_set < 0) or np.any(info_set >= llr.size):
         raise ValueError("info_set indices out of range")
-    out = jax.jit(sc_decode_batch, static_argnames=("info_set",))(
-        jnp.asarray(llr)[None, :], tuple(int(i) for i in info_set)
-    )
-    return np.asarray(out[0], dtype=np.int8)
+    # float64 when x64 is enabled (CPU parity tests), else float32
+    x = jnp.asarray(llr, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    fn = _jitted_sc(tuple(int(i) for i in info_set), x.dtype.name)
+    return np.asarray(fn(x[None, :])[0], dtype=np.int8)
 
 
 __all__ = ["sc_decode_batch", "sc_decode", "f_minsum", "g_update"]
