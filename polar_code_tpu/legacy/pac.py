@@ -134,7 +134,6 @@ def pac_list_decode_batch(
     mask_rev = mask[perm]
     Kp = int(mask.sum())
     off, state_len = _level_offsets(N)
-    INF = jnp.asarray(jnp.inf, dtype)
 
     # adjacent-pair butterfly == halves butterfly on bit-rev-permuted LLRs
     chan = llr[:, perm].T.astype(dtype)  # [N, B]

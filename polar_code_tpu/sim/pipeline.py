@@ -74,7 +74,7 @@ def make_fer_chunk(
     )
 
     def chunk(key, noise_var_coded, noise_var_uncoded):
-        kp, kn, kun, knu = jax.random.split(key, 4)
+        kp, kn, kun = jax.random.split(key, 3)
         payload = shard_frames(_random_payload(kp, batch, payload_bits), mesh)
         msg = attach_crc_batch(payload, crc_poly)
         code = encode_batch(msg, info_np, N)
