@@ -119,26 +119,32 @@ def train_beta(args: argparse.Namespace) -> None:
         writer = csv.writer(f)
         writer.writerow(["epoch", "train_loss", "train_acc", "val_loss", "val_acc"])
         for epoch in range(1, args.epochs + 1):
-            total_loss = total_correct = total = 0
+            # accumulate loss/accuracy as device scalars; one sync per epoch
+            # (per-batch host syncs are expensive on remote-attached TPUs)
+            loss_parts, acc_parts, total = [], [], 0
             for xb, yb in batches(x_tr, y_tr, shuffle=True):
                 params, opt_state, loss, acc_count = train_step(params, opt_state, xb, yb)
                 bs = int(xb.shape[0])
-                total_loss += float(loss) * bs
-                total_correct += int(acc_count)
+                loss_parts.append(loss * bs)
+                acc_parts.append(acc_count)
                 total += bs
-            train_loss = total_loss / max(total, 1)
-            train_acc = total_correct / max(total, 1)
+            import jax as _jax
 
-            val_loss_sum = val_correct = val_total = 0
+            loss_parts, acc_parts = _jax.device_get((loss_parts, acc_parts))
+            train_loss = float(np.sum(loss_parts)) / max(total, 1)
+            train_acc = int(np.sum(acc_parts)) / max(total, 1)
+
+            vloss_parts, vacc_parts, val_total = [], [], 0
             for xb, yb in batches(x_va, y_va, shuffle=False):
                 loss, acc_count = eval_step(params, xb, yb)
                 bs = int(xb.shape[0])
-                val_loss_sum += float(loss) * bs
-                val_correct += int(acc_count)
+                vloss_parts.append(loss * bs)
+                vacc_parts.append(acc_count)
                 val_total += bs
             if val_total > 0:
-                val_loss = val_loss_sum / val_total
-                val_acc = val_correct / val_total
+                vloss_parts, vacc_parts = _jax.device_get((vloss_parts, vacc_parts))
+                val_loss = float(np.sum(vloss_parts)) / val_total
+                val_acc = int(np.sum(vacc_parts)) / val_total
             else:
                 val_loss = float("nan")
                 val_acc = float("nan")
