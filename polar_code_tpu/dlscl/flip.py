@@ -150,6 +150,9 @@ def decode_with_retries_batch(
     beta: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     backend: str = "auto",
+    sharded_mesh=None,
+    sharded_block: int = 128,
+    sharded_interpret: bool = False,
 ) -> dict:
     """Batched DL-SCL: baseline + masked flip retries in one scanned graph.
 
@@ -176,11 +179,23 @@ def decode_with_retries_batch(
 
     from ..ops.backend import resolve_backend
 
-    use_pallas = (
+    use_pallas = backend != "pallas_sharded" and (
         resolve_backend(backend, batch=B, M=M, dtype=dtype) == "pallas"
     )
 
     def _decode(forced):
+        if backend == "pallas_sharded":
+            # explicit opt-in: fused kernel per device shard via shard_map
+            # (mesh comes from `sharded_mesh`; validated in interpret mode on
+            # the virtual CPU mesh — real multi-chip requires hardware)
+            from ..ops.scl_pallas import decode_scl_pallas_sharded
+
+            out = decode_scl_pallas_sharded(
+                llr, info_np, M, crc, mesh=sharded_mesh,
+                force_info_bits=forced,
+                block_batch=sharded_block, interpret=sharded_interpret,
+            )
+            return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
         if use_pallas:
             from ..ops.scl_pallas import decode_scl_pallas
 
