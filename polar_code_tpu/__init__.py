@@ -22,4 +22,34 @@ from .polar.construct import construct_info_set
 
 __version__ = "0.1.0"
 
-__all__ = ["config", "construct_info_set", "__version__"]
+
+def __getattr__(name):
+    # Lazy re-exports of the main entry points (avoid importing the heavy
+    # decoder modules until first use).
+    lazy = {
+        "decode_scl_batch": ("polar_code_tpu.ops.scl", "decode_scl_batch"),
+        "decode_scl_pallas": ("polar_code_tpu.ops.scl_pallas", "decode_scl_pallas"),
+        "sc_decode_batch": ("polar_code_tpu.ops.sc", "sc_decode_batch"),
+        "decode_with_retries_batch": ("polar_code_tpu.dlscl.flip", "decode_with_retries_batch"),
+        "SymmetricBeta": ("polar_code_tpu.dlscl.beta", "SymmetricBeta"),
+        "encode_batch": ("polar_code_tpu.ops.polar_transform", "encode_batch"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'polar_code_tpu' has no attribute {name!r}")
+
+
+__all__ = [
+    "config",
+    "construct_info_set",
+    "decode_scl_batch",
+    "decode_scl_pallas",
+    "sc_decode_batch",
+    "decode_with_retries_batch",
+    "SymmetricBeta",
+    "encode_batch",
+    "__version__",
+]
