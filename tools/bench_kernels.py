@@ -1,0 +1,80 @@
+"""Consolidated kernel benchmarks → results/bench_kernels.md.
+
+Pipelined timing (dispatch k steps, one sync) so per-call tunnel latency is
+amortized, matching production usage.  Run on one TPU chip:
+
+    python tools/bench_kernels.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def timed(fn, *args, iters=8):
+    import jax
+
+    jax.device_get(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    jax.device_get(outs)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from polar_code_tpu import config
+    from polar_code_tpu.polar.construct import construct_info_set
+    from polar_code_tpu.ops.scl import decode_scl_batch
+    from polar_code_tpu.ops.scl_pallas import decode_scl_pallas
+    from polar_code_tpu.ops.sc import sc_decode_batch
+
+    cfg = config.DEFAULTS
+    info_set = construct_info_set(cfg.N, cfg.K)
+    rng = np.random.default_rng(0)
+    B = 8192
+    llr = jnp.asarray(rng.normal(0, 5, size=(B, cfg.N)), jnp.float32)
+
+    rows = []
+
+    t = timed(jax.jit(lambda x: sc_decode_batch(x, info_set)), llr)
+    rows.append(("SC decode (XLA)", "—", f"{t*1e3:.1f}", f"{B/t:,.0f}"))
+
+    for M in (1, 2, 4, 8):
+        tk = timed(
+            jax.jit(
+                lambda x, M=M: decode_scl_pallas(x, info_set, M, cfg.crc_poly)[
+                    "crc_pass"
+                ]
+            ),
+            llr,
+        )
+        rows.append((f"SCL kernel", f"M={M}", f"{tk*1e3:.1f}", f"{B/tk:,.0f}"))
+
+    tx = timed(
+        jax.jit(lambda x: decode_scl_batch(x, info_set, 8, cfg.crc_poly).crc_pass),
+        llr,
+    )
+    rows.append(("SCL XLA graph", "M=8", f"{tx*1e3:.1f}", f"{B/tx:,.0f}"))
+
+    out = Path("results/bench_kernels.md")
+    with out.open("w") as f:
+        f.write(
+            "# Kernel benchmarks (one v5e chip, B=8192, P(128,64), CRC-24A)\n\n"
+            "Pipelined timing: 8 dispatches per sync (amortizes host/tunnel\n"
+            "latency).  Reference CPU baseline: 4.73 frames/s at M=8.\n\n"
+            "| stage | cfg | ms/batch | frames/s |\n|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write("| " + " | ".join(r) + " |\n")
+    print(out.read_text())
+
+
+if __name__ == "__main__":
+    main()
