@@ -26,7 +26,7 @@ REF_CPU_M8_FPS = 4.73  # reference decode_scl, M=8, P(128,64), 1 CPU thread
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=32768)
+    parser.add_argument("--batch", type=int, default=65536)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--M", type=int, default=8)
     parser.add_argument("--snr_db", type=float, default=5.0)
