@@ -35,3 +35,39 @@ def test_kernel_matches_xla_fuzz(N, K, M, crc, scale, seed):
     np.testing.assert_array_equal(
         np.asarray(out["crc_pass"]), np.asarray(ref.crc_pass)
     )
+
+
+PAC_CONFIGS = [
+    # (N, Kp, L, gen, crc_len, crc_poly, profile, seed)
+    (16, 8, 2, (1, 1), 0, 0, "dega", 0),
+    (32, 20, 4, (1, 0, 1, 1), 8, 0xA6, "pw", 1),
+    (32, 12, 1, (1, 1, 0, 1), 0, 0, "bh", 2),
+    (64, 40, 8, (1, 0, 1, 1, 0, 1, 1), 12, 0xC06, "rm-polar", 3),
+]
+
+
+@pytest.mark.parametrize("N,Kp,L,gen,crc_len,crc_poly,profile,seed", PAC_CONFIGS)
+def test_pac_kernel_fuzz(N, Kp, L, gen, crc_len, crc_poly, profile, seed):
+    from polar_code_tpu.legacy.pac import pac_list_decode_batch
+    from polar_code_tpu.legacy.pac_pallas import pac_list_decode_pallas
+    from polar_code_tpu.legacy.rate_profile import rateprofile
+
+    rp = rateprofile(N, Kp, 2.0, 0)
+    rp.build_mask(profile)
+    mask = rp.modify_profile()
+    rng = np.random.default_rng(seed)
+    B = 8
+    llr = jnp.asarray(rng.normal(0, 3, size=(B, N)), jnp.float32)
+    ref = pac_list_decode_batch(
+        llr, mask, gen, L, crc_len=crc_len, crc_poly=crc_poly, dtype=jnp.float32
+    )
+    out = pac_list_decode_pallas(
+        llr, mask, gen, L, crc_len=crc_len, crc_poly=crc_poly,
+        block_batch=B, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["extracted"]), np.asarray(ref["extracted"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["crc_pass"]), np.asarray(ref["crc_pass"])
+    )
