@@ -497,6 +497,17 @@ def _build_kernel_for(
     return run
 
 
+def _default_block(M: int, B: int) -> int:
+    """Measured-best batch tile per list size (v5e): small M is phase-loop
+    bound and profits from wider tiles; M=8's VMEM prefers 128."""
+
+    prefs = {1: (512, 256, 128), 2: (512, 256, 128), 4: (256, 128)}.get(M, (128,))
+    for bt in prefs:
+        if B % bt == 0:
+            return bt
+    return 128
+
+
 def decode_scl_pallas(
     llr: jnp.ndarray,
     info_set,
@@ -504,7 +515,7 @@ def decode_scl_pallas(
     crc: Optional[str] = None,
     *,
     force_info_bits: Optional[jnp.ndarray] = None,
-    block_batch: int = 128,
+    block_batch: Optional[int] = None,
     interpret: bool = False,
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
@@ -520,6 +531,8 @@ def decode_scl_pallas(
     info_np = np.asarray(info_set)
     B, N = int(llr.shape[0]), int(llr.shape[1])
     K = int(info_np.size)
+    if block_batch is None:
+        block_batch = _default_block(M, B)
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
 
