@@ -20,7 +20,12 @@ import numpy as np
 
 from .. import config as global_config
 from ..nr.ldpc import build_h_matrix, load_base_graph
-from ..parallel.mesh import frames_mesh, maybe_distributed_init
+from ..parallel.mesh import (
+    frames_mesh,
+    is_coordinator,
+    maybe_distributed_init,
+    sync_processes,
+)
 from ..polar.construct import construct_info_set
 from ..sim.pipeline import make_ber_chunk
 from ..utils.seeding import fold_key, make_key, seed_all
@@ -39,6 +44,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
 
     seed_all(args.seed)
     maybe_distributed_init()
+    coord = is_coordinator()
 
     N = args.N if args.N is not None else args.E
     K_total = args.K_payload + args.K_crc
@@ -93,6 +99,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
             "beta": args.beta or "", "bg": args.bg, "Z": args.Z,
             "max_iter": args.max_iter, "alpha": args.alpha,
         },
+        writer=coord,
     )
 
     EbN0_values = np.arange(args.EbN0_lo, args.EbN0_hi + 1e-12, args.EbN0_step)
@@ -221,11 +228,13 @@ def parse_args(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
 def main(argv: Optional[Iterable[str]] = None) -> None:
     args = parse_args(argv)
     rows = run(args)
-    out_path = Path(args.out)
-    out_path.parent.mkdir(parents=True, exist_ok=True)
-    write_csv(rows, out_path)
-    if args.plot:
-        plot_rows(rows, Path(args.plot))
+    if is_coordinator():
+        out_path = Path(args.out)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        write_csv(rows, out_path)
+        if args.plot:
+            plot_rows(rows, Path(args.plot))
+    sync_processes("ber_sweep_end")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,12 @@ import numpy as np
 
 from .. import config
 from ..channel import noise_var_coded, noise_var_uncoded
-from ..parallel.mesh import frames_mesh, maybe_distributed_init
+from ..parallel.mesh import (
+    frames_mesh,
+    is_coordinator,
+    maybe_distributed_init,
+    sync_processes,
+)
 from ..polar.construct import construct_info_set
 from ..sim.pipeline import make_fer_chunk
 from ..utils.seeding import fold_key, make_key, seed_all
@@ -35,6 +40,8 @@ def run_sweep(args: argparse.Namespace) -> None:
     cfg = config.get_config()
     seed_all(args.seed)
     maybe_distributed_init()
+    coord = is_coordinator()
+    say = print if coord else (lambda *a, **k: None)
 
     info_set = construct_info_set(cfg.N, cfg.K)
 
@@ -67,6 +74,7 @@ def run_sweep(args: argparse.Namespace) -> None:
             "retries": args.retries, "seed": args.seed, "batch": batch,
             "beta": args.beta or "", "include_uncoded": bool(args.include_uncoded),
         },
+        writer=coord,
     )
 
     results: List[Dict[str, float]] = []
@@ -76,7 +84,7 @@ def run_sweep(args: argparse.Namespace) -> None:
     for snr_db in snr_points:
         cached = state.get(float(snr_db))
         if cached is not None:
-            print(f"SNR={snr_db:.2f} dB -> resumed from state")
+            say(f"SNR={snr_db:.2f} dB -> resumed from state")
             results.append(cached)
             continue
         nv_c = noise_var_coded(float(snr_db), cfg.K, cfg.N)
@@ -108,14 +116,14 @@ def run_sweep(args: argparse.Namespace) -> None:
         if args.include_uncoded:
             row["fer_uncoded"] = acc["uncoded_errors"] / total_frames
             row["ber_uncoded"] = acc["uncoded_bit_errors"] / acc["bits_uncoded"]
-            print(
+            say(
                 f"SNR={snr_db:.2f} dB -> Uncoded FER={row['fer_uncoded']:.3e}, "
                 f"BER={row['ber_uncoded']:.3e}; "
                 f"SCL FER={row['fer_scl']:.3e}, BER={row['ber_scl']:.3e}; "
                 f"DL FER={row['fer_dl']:.3e}, BER={row['ber_dl']:.3e}"
             )
         else:
-            print(
+            say(
                 f"SNR={snr_db:.2f} dB -> SCL FER={row['fer_scl']:.3e}, "
                 f"BER={row['ber_scl']:.3e}; "
                 f"DL FER={row['fer_dl']:.3e}, BER={row['ber_dl']:.3e}"
@@ -125,10 +133,14 @@ def run_sweep(args: argparse.Namespace) -> None:
 
     elapsed = time.perf_counter() - t_start
     if elapsed > 0:
-        print(
+        say(
             f"Simulated {frames_done} frames in {elapsed:.2f}s "
             f"({frames_done / elapsed:.0f} frames/s on {n_dev} device(s))"
         )
+
+    if not coord:
+        sync_processes("fer_sweep_end")
+        return
 
     output_dir = Path(args.out_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -153,13 +165,14 @@ def run_sweep(args: argparse.Namespace) -> None:
                 f"{row['ber_dl']:.6e}",
             ])
             f.write(",".join(values) + "\n")
-    print(f"Saved FER table to {csv_path}")
+    say(f"Saved FER table to {csv_path}")
 
     plot_dir = Path(args.plot_dir)
     plot_dir.mkdir(parents=True, exist_ok=True)
     plot_path = plot_dir / f"fer_M{args.M}.png"
     _plot(results, plot_path, args.include_uncoded)
-    print(f"Saved FER plot to {plot_path}")
+    say(f"Saved FER plot to {plot_path}")
+    sync_processes("fer_sweep_end")
 
 
 def _plot(results: List[Dict[str, float]], plot_path: Path, include_uncoded: bool) -> None:

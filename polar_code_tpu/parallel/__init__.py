@@ -3,6 +3,8 @@ from .mesh import (
     shard_frames,
     local_mesh_devices,
     maybe_distributed_init,
+    is_coordinator,
+    sync_processes,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "shard_frames",
     "local_mesh_devices",
     "maybe_distributed_init",
+    "is_coordinator",
+    "sync_processes",
 ]

@@ -55,14 +55,64 @@ def shard_frames(x, mesh: Optional[Mesh], axis: int = 0):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
-def maybe_distributed_init() -> None:
+def maybe_distributed_init() -> bool:
     """Initialize multi-host JAX when launched under a pod/cluster runtime.
 
-    No-op in single-process runs; controlled by standard cluster env vars.
+    No-op in single-process runs.  Activates when ``JAX_COORDINATOR_ADDRESS``
+    is set (with optional ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``, required
+    outside managed clusters), or defers to JAX's own cluster auto-detection
+    (SLURM, GKE/GCE TPU pods, OpenMPI) when those are detectable.  Idempotent:
+    a second call is a no-op.  Returns True when running multi-process.
     """
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return jax.process_count() > 1
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
+        )
+        _DIST_INITIALIZED = True
+    return jax.process_count() > 1
 
 
-__all__ = ["frames_mesh", "shard_frames", "local_mesh_devices", "maybe_distributed_init"]
+_DIST_INITIALIZED = False
+
+
+def is_coordinator() -> bool:
+    """True on the process that should own stdout/CSV/plot/state artifacts.
+
+    Multi-host sweeps run the same SPMD program everywhere (including the
+    host-side stopping-rule loops, which consume identical replicated
+    counters on every process), but only process 0 writes artifacts.
+    """
+
+    return jax.process_index() == 0
+
+
+def sync_processes(tag: str = "barrier") -> None:
+    """Barrier across all processes (no-op single-process).
+
+    Used at sweep exit so the coordinator does not tear down the
+    distributed service while other hosts still have chunks in flight.
+    """
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+__all__ = [
+    "frames_mesh",
+    "shard_frames",
+    "local_mesh_devices",
+    "maybe_distributed_init",
+    "is_coordinator",
+    "sync_processes",
+]

@@ -16,8 +16,12 @@ from typing import Dict, Optional
 class SweepState:
     """Per-point durable state for resumable sweeps."""
 
-    def __init__(self, path: Optional[str], config: Dict) -> None:
+    def __init__(self, path: Optional[str], config: Dict, *, writer: bool = True) -> None:
+        # Multi-host: every process reads the state (skip decisions must be
+        # identical everywhere — the chunks contain collectives), but only the
+        # coordinator writes it.  The file must be shared or absent on workers.
         self.path = Path(path) if path else None
+        self.writer = writer
         self.config = config
         self.rows: Dict[str, Dict] = {}
         if self.path and self.path.exists():
@@ -38,7 +42,7 @@ class SweepState:
 
     def record(self, point: float, row: Dict) -> None:
         self.rows[self.key(point)] = row
-        if self.path:
+        if self.path and self.writer:
             self.path.parent.mkdir(parents=True, exist_ok=True)
             tmp = self.path.with_suffix(".tmp")
             tmp.write_text(json.dumps({"config": self.config, "rows": self.rows}))

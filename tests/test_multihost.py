@@ -1,0 +1,99 @@
+"""Real multi-process (multi-"host") integration test.
+
+The reference is strictly single-process; this framework's scale-out story is
+standard JAX SPMD over a global mesh (SURVEY.md §2.3, §5).  Here we actually
+run it: two OS processes × 4 virtual CPU devices form an 8-device
+`jax.distributed` cluster (Gloo collectives over localhost) and execute the
+real FER sweep CLI.  The deterministic key-folding discipline means the
+2-process × 4-device run must produce the *byte-identical* CSV of a
+1-process × 8-device run — that is the correctness contract for counters
+aggregated across DCN.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "mh_fer_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env() -> dict:
+    env = dict(os.environ)
+    # do not leak the pytest process's device-count / platform settings
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = str(REPO)
+    return env
+
+
+def _launch(extra_args, out_dir, plot_dir, devices_per_proc):
+    return subprocess.Popen(
+        [
+            sys.executable, str(WORKER),
+            "--devices_per_proc", str(devices_per_proc),
+            "--out_dir", str(out_dir),
+            "--plot_dir", str(plot_dir),
+            *extra_args,
+        ],
+        env=_worker_env(),
+        cwd=str(REPO),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+
+
+@pytest.mark.slow
+def test_two_process_sweep_matches_single_process(tmp_path):
+    single_dir = tmp_path / "single"
+    multi_dir = tmp_path / "multi"
+
+    # 1 process × 8 devices (the reference layout for all other mesh tests)
+    p = _launch([], single_dir, tmp_path / "plots1", devices_per_proc=8)
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, f"single-process worker failed:\n{out}"
+
+    # 2 processes × 4 devices over jax.distributed (env-var init path)
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    procs = [
+        _launch(
+            [
+                "--process_id", str(pid),
+                "--num_processes", "2",
+                "--coordinator", coord,
+            ],
+            multi_dir,
+            tmp_path / "plots2",
+            devices_per_proc=4,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"distributed worker failed:\n{out}"
+
+    single_csv = (single_dir / "fer_M1.csv").read_text()
+    multi_csv = (multi_dir / "fer_M1.csv").read_text()
+    assert "snr_db" in single_csv
+    assert multi_csv == single_csv  # bit-identical counters across DCN
+
+    # only the coordinator writes artifacts
+    assert "Saved FER table" in outs[0]
+    assert "Saved FER table" not in outs[1]
