@@ -31,6 +31,20 @@ from ..sim.pipeline import make_ber_chunk
 from ..utils.seeding import fold_key, make_key, seed_all
 
 
+def _resolve_base_graph(args: argparse.Namespace):
+    """Demo graph by number (reference parity) or a real shift table by file.
+
+    `--bg_file` loads a TS 38.212-style edge-list table (see
+    `nr/ldpc/nr_tables.py`) lifted at `--Z`; without it, `--bg` selects the
+    built-in demo graph exactly as the reference does."""
+
+    if getattr(args, "bg_file", None):
+        from ..nr.ldpc.nr_tables import load_base_graph_file
+
+        return load_base_graph_file(args.bg_file, args.Z)
+    return load_base_graph(args.bg)
+
+
 def _noise_var(EbN0_dB: float, payload_bits: int, coded_bits: int) -> float:
     # Es/N0 = Eb/N0 · (K_payload/E): CRC bits count as overhead
     # (reference eval/run_ber_sweep.py:105-109).
@@ -62,12 +76,13 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
     elif args.scheme == "nr_polar_scl":
         params_label = f"M={args.M},ilv={args.ilv_mode}"
     elif args.scheme == "nr_ldpc":
-        bg = load_base_graph(args.bg)
+        bg = _resolve_base_graph(args)
         H = build_h_matrix(bg, args.Z)
         k = H.shape[1] - H.shape[0]
         if k != K_total:
             raise ValueError("LDPC payload+CRC size mismatch with base graph")
-        params_label = f"bg={args.bg},Z={args.Z},iter={args.max_iter},alpha={args.alpha}"
+        bg_label = args.bg_file or f"bg={args.bg}"
+        params_label = f"{bg_label},Z={args.Z},iter={args.max_iter},alpha={args.alpha}"
     else:
         raise ValueError(f"Unsupported scheme: {args.scheme}")
 
@@ -82,7 +97,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
         K_crc=args.K_crc, crc_poly=args.crc_poly, info_set=info_set,
         M=args.M, retries=args.retries, beta=beta, ilv_mode=args.ilv_mode,
         H=H, max_iter=args.max_iter, alpha=args.alpha, batch=batch, mesh=mesh,
-        ldpc_bg=load_base_graph(args.bg) if args.scheme == "nr_ldpc" else None,
+        ldpc_bg=_resolve_base_graph(args) if args.scheme == "nr_ldpc" else None,
         ldpc_Z=args.Z if args.scheme == "nr_ldpc" else None,
     )
     root_key = make_key(args.seed)
@@ -96,7 +111,8 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
             "K_crc": args.K_crc, "E": args.E, "N": N, "M": args.M,
             "retries": args.retries, "seed": args.seed, "batch": batch,
             "err_cap": args.err_cap, "bits_cap": args.bits_cap,
-            "beta": args.beta or "", "bg": args.bg, "Z": args.Z,
+            "beta": args.beta or "", "bg": args.bg,
+            "bg_file": args.bg_file or "", "Z": args.Z,
             "max_iter": args.max_iter, "alpha": args.alpha,
         },
         writer=coord,
@@ -202,6 +218,11 @@ def parse_args(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
     parser.add_argument("--beta", type=str, help="Path to beta matrix (DL-SCL)")
     parser.add_argument("--ilv_mode", type=str, default="default")
     parser.add_argument("--bg", type=int, default=2, help="LDPC base graph")
+    parser.add_argument(
+        "--bg_file", type=str, default=None,
+        help="External LDPC shift table (edge-list CSV, per-iLS or single "
+             "column; e.g. real TS 38.212 BG1/BG2 tables), lifted at --Z",
+    )
     parser.add_argument("--Z", type=int, default=2, help="LDPC lifting size")
     parser.add_argument("--max_iter", type=int, default=20)
     parser.add_argument("--alpha", type=float, default=0.8)
