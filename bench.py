@@ -35,6 +35,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from polar_code_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from polar_code_tpu import config
     from polar_code_tpu.channel import awgn_llr, bpsk, noise_var_coded
     from polar_code_tpu.ops.backend import resolve_backend

@@ -153,6 +153,7 @@ def decode_with_retries_batch(
     sharded_mesh=None,
     sharded_block: int = 128,
     sharded_interpret: bool = False,
+    compact_capacity: int = 0,
 ) -> dict:
     """Batched DL-SCL: baseline + masked flip retries in one scanned graph.
 
@@ -175,6 +176,13 @@ def decode_with_retries_batch(
     if retries >= K:
         raise ValueError("retries must be < K")
     beta_arr = jnp.asarray(beta, dtype) if beta is not None else None
+    if compact_capacity:
+        if backend == "pallas_sharded":
+            raise ValueError("compaction does not compose with pallas_sharded")
+        return _decode_with_retries_compact(
+            llr, info_np, M, retries, crc=crc, beta_arr=beta_arr, dtype=dtype,
+            backend=backend, capacity=int(compact_capacity),
+        )
     pos = jnp.arange(K)[None, :]
 
     from ..ops.backend import resolve_backend
@@ -241,6 +249,127 @@ def decode_with_retries_batch(
     )
     (done, best_bits, best_llrs, tried, attempts, base_pass, base_bits), _ = jax.lax.scan(
         body, init, jnp.arange(retries + 1)
+    )
+    return {
+        "best_path_bits": best_bits,
+        "best_path_info_llrs": best_llrs,
+        "success": done,
+        "attempts_used": attempts,
+        "baseline_pass": base_pass,
+        "baseline_bits": base_bits,
+        "tried": tried,
+    }
+
+
+def _decode_with_retries_compact(
+    llr: jnp.ndarray,
+    info_np: np.ndarray,
+    M: int,
+    retries: int,
+    *,
+    crc: str,
+    beta_arr: Optional[jnp.ndarray],
+    dtype,
+    backend: str,
+    capacity: int,
+) -> dict:
+    """Device-side failed-frame compaction for the retry sweep.
+
+    The masked scan in `decode_with_retries_batch` decodes the FULL batch at
+    every retry step even when only a few frames are still failing.  Here
+    each retry step gathers the still-active frames to the front (stable
+    argsort of the done mask), decodes them in fixed-capacity chunks inside
+    a `lax.while_loop` (trip count = ceil(active/capacity), data-dependent
+    but entirely on-device — no host round-trips, unlike the host-side
+    compaction rejected in CLAUDE.md), and scatters the results back.  At
+    FER≈1% this cuts retry-sweep decode work by ~B/capacity per step while
+    returning results identical to the masked path (frames are independent;
+    gather/decode/scatter is a permutation of the same per-frame decodes).
+
+    Semantics match the reference `decode_with_retries` exactly as the
+    masked path does: re-rank from the new best path after every failed
+    attempt, exclude tried indices, keep the LAST attempt's bits on failure
+    (`dl_scl_polar/dlscl/flip.py:104-135`).
+    """
+
+    B, N = int(llr.shape[0]), int(llr.shape[1])
+    K = int(info_np.size)
+    C = min(int(capacity), B)
+    pos = jnp.arange(K)[None, :]
+
+    from ..ops.backend import resolve_backend
+
+    full_backend = resolve_backend(backend, batch=B, M=M, dtype=dtype)
+    chunk_backend = resolve_backend(backend, batch=C, M=M, dtype=dtype)
+
+    def _dec(llr_in, forced, which):
+        if which == "pallas":
+            from ..ops.scl_pallas import decode_scl_pallas
+
+            out = decode_scl_pallas(llr_in, info_np, M, crc, force_info_bits=forced)
+            return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
+        res = decode_scl_batch(llr_in, info_np, M, crc, force_info_bits=forced, dtype=dtype)
+        return res.best_path_bits, res.best_path_info_llrs, res.crc_pass
+
+    base_bits, base_llrs, base_pass = _dec(
+        llr, jnp.full((B, K), -1, jnp.int8), full_backend
+    )
+
+    def retry_body(carry, _):
+        done, best_bits, best_llrs, tried, attempts = carry
+        active = ~done
+        count = jnp.sum(active.astype(jnp.int32))
+        # stable sort of the done mask puts active frames first, in index order
+        order = jnp.argsort(done, stable=True).astype(jnp.int32)
+        nchunks = (count + C - 1) // C
+
+        def cond(c):
+            return c[0] < nchunks
+
+        def chunk(c):
+            i, done, best_bits, best_llrs, tried, attempts = c
+            offs = i * C + jnp.arange(C, dtype=jnp.int32)
+            valid = offs < count
+            sel_raw = order[jnp.minimum(offs, B - 1)]
+            sel = jnp.where(valid, sel_raw, B)  # B = out of range → dropped
+
+            llr_c = llr[sel_raw]
+            bb = best_bits[sel_raw]
+            bl = best_llrs[sel_raw]
+            tr = tried[sel_raw]
+
+            q = jnp.abs(bl)
+            if beta_arr is not None:
+                q = q @ beta_arr
+            q = jnp.where(tr, jnp.inf, q)
+            idx = jnp.argmin(q, axis=1)  # [C]
+            flip = (1 - jnp.take_along_axis(bb, idx[:, None], axis=1)).astype(jnp.int8)
+            forced = jnp.where(pos < idx[:, None], bb, jnp.int8(-1))
+            forced = jnp.where(pos == idx[:, None], flip, forced)
+
+            r_bits, r_llrs, r_pass = _dec(llr_c, forced, chunk_backend)
+
+            best_bits = best_bits.at[sel].set(r_bits, mode="drop")
+            best_llrs = best_llrs.at[sel].set(r_llrs.astype(dtype), mode="drop")
+            tried = tried.at[sel].set(tr | (pos == idx[:, None]), mode="drop")
+            done = done.at[sel].set(r_pass, mode="drop")
+            attempts = attempts.at[sel].add(1, mode="drop")
+            return (i + 1, done, best_bits, best_llrs, tried, attempts)
+
+        (_, done, best_bits, best_llrs, tried, attempts) = jax.lax.while_loop(
+            cond, chunk, (jnp.int32(0), done, best_bits, best_llrs, tried, attempts)
+        )
+        return (done, best_bits, best_llrs, tried, attempts), None
+
+    init = (
+        base_pass,
+        base_bits,
+        base_llrs.astype(dtype),
+        jnp.zeros((B, K), bool),
+        jnp.zeros((B,), jnp.int32),
+    )
+    (done, best_bits, best_llrs, tried, attempts), _ = jax.lax.scan(
+        retry_body, init, None, length=retries
     )
     return {
         "best_path_bits": best_bits,

@@ -56,7 +56,10 @@ def _noise_var(EbN0_dB: float, payload_bits: int, coded_bits: int) -> float:
 def run(args: argparse.Namespace) -> List[Dict[str, float]]:
     import jax
 
+    from ..utils.cache import enable_compilation_cache
+
     seed_all(args.seed)
+    enable_compilation_cache()
     maybe_distributed_init()
     coord = is_coordinator()
 
@@ -99,6 +102,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
         H=H, max_iter=args.max_iter, alpha=args.alpha, batch=batch, mesh=mesh,
         ldpc_bg=_resolve_base_graph(args) if args.scheme == "nr_ldpc" else None,
         ldpc_Z=args.Z if args.scheme == "nr_ldpc" else None,
+        compact=args.compact,
     )
     root_key = make_key(args.seed)
 
@@ -238,6 +242,11 @@ def parse_args(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
     parser.add_argument(
         "--state", type=str, default=None,
         help="Optional JSON state file for checkpoint/resume of sweep points",
+    )
+    parser.add_argument(
+        "--compact", type=int, default=-1,
+        help="Device-side retry compaction capacity for dl_scl (frames per "
+             "retry chunk; 0 = masked full-batch retries)",
     )
     args = parser.parse_args(list(argv) if argv is not None else None)
 

@@ -37,8 +37,11 @@ from ..utils.seeding import fold_key, make_key, seed_all
 def run_sweep(args: argparse.Namespace) -> None:
     import jax
 
+    from ..utils.cache import enable_compilation_cache
+
     cfg = config.get_config()
     seed_all(args.seed)
+    enable_compilation_cache()
     maybe_distributed_init()
     coord = is_coordinator()
     say = print if coord else (lambda *a, **k: None)
@@ -62,6 +65,7 @@ def run_sweep(args: argparse.Namespace) -> None:
         N=cfg.N, K=cfg.K, crc_poly=cfg.crc_poly, info_set=info_set,
         M=args.M, retries=args.retries, beta=beta, batch=batch,
         include_uncoded=args.include_uncoded, mesh=mesh,
+        compact=args.compact,
     )
     root_key = make_key(args.seed)
 
@@ -221,6 +225,12 @@ def build_argparser() -> argparse.ArgumentParser:
         "--state", type=str, default=None,
         help="Optional JSON state file: completed Eb/N0 points are recorded "
              "and skipped on re-run (checkpoint/resume for long sweeps)",
+    )
+    parser.add_argument(
+        "--compact", type=int, default=-1,
+        help="Device-side retry compaction capacity (frames per retry chunk; "
+             "0 = masked full-batch retries). Results are identical; big "
+             "speedup at SNRs where baseline failures are rare",
     )
     return parser
 

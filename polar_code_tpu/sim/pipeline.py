@@ -55,6 +55,7 @@ def make_fer_chunk(
     dtype=jnp.float32,
     mesh=None,
     backend: str = "auto",
+    compact: int = 0,
 ):
     """Build the jitted FER-sweep chunk: (key, σ²_coded, σ²_uncoded) → counters.
 
@@ -84,6 +85,7 @@ def make_fer_chunk(
         dl = decode_with_retries_batch(
             llr, info_np, M, retries, crc=crc_poly, beta=beta_arr, dtype=dtype,
             backend=decode_backend,
+            compact_capacity=_resolve_compact(compact, multi, batch),
         )
         scl_bits = dl["baseline_bits"]
         dl_bits = dl["best_path_bits"]
@@ -118,6 +120,21 @@ def _crc_degree(poly: str) -> int:
     return crc_degree(poly)
 
 
+def _resolve_compact(compact: int, multi: bool, batch: int) -> int:
+    """Retry-compaction capacity: −1 = auto (PALLAS_BLOCK on a single TPU
+    device — measured 4–5× FER-sweep speedup at every Eb/N0, identical
+    results; see tools/bench_compact.py), 0 = masked full-batch retries.
+    Disabled on multi-device meshes so gathers stay on-chip."""
+
+    if multi or compact == 0:
+        return 0
+    if compact > 0:
+        return compact
+    from ..ops.backend import PALLAS_BLOCK, on_tpu
+
+    return PALLAS_BLOCK if (on_tpu() and batch > PALLAS_BLOCK) else 0
+
+
 def make_ber_chunk(
     *,
     scheme: str,
@@ -140,6 +157,7 @@ def make_ber_chunk(
     backend: str = "auto",
     ldpc_bg=None,
     ldpc_Z: Optional[int] = None,
+    compact: int = 0,
 ):
     """Build the jitted unified-BER-sweep chunk: (key, σ²) → counters.
 
@@ -205,6 +223,7 @@ def make_ber_chunk(
             res = decode_with_retries_batch(
                 llr, info_np, M, retries, crc=crc_poly, beta=beta_arr, dtype=dtype,
                 backend=decode_backend,
+                compact_capacity=_resolve_compact(compact, multi, batch),
             )
             candidate = res["best_path_bits"][:, :K_payload]
             work = res["attempts_used"].astype(jnp.float32)

@@ -101,7 +101,10 @@ def generate_samples(args: argparse.Namespace) -> None:
     import jax
 
     cfg = config.get_config()
+    from ..utils.cache import enable_compilation_cache
+
     seed_all(args.seed)
+    enable_compilation_cache()
     info_set = construct_info_set(cfg.N, cfg.K)
     noise_var = noise_var_coded(args.snr_db, cfg.K, cfg.N)
 

@@ -62,7 +62,10 @@ def train_beta(args: argparse.Namespace) -> None:
     import jax.numpy as jnp
     import optax
 
+    from ..utils.cache import enable_compilation_cache
+
     seed_all(args.seed)
+    enable_compilation_cache()
     abs_l0, labels = _load_dataset(args.data)
     dim = abs_l0.shape[1]
 
