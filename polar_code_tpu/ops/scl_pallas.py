@@ -191,8 +191,11 @@ def _kernel_body(
     llrs_ref,     # [K, BT] f32 best path info LLRs
     pass_ref,     # [1, BT] int32 CRC pass
     # scratch
-    state_ref,    # [M, 2(N−1), BT] f32: rows [0,N−1) llr, [N−1,2N−2) bits
-    state2_ref,   # [M, 2(N−1), BT] f32 (clone double buffer)
+    state_ref,    # [M, N−1, BT] f32 LLR rows (one active node per level)
+    state2_ref,   # [M, N−1, BT] f32 (clone double buffer)
+    bstate_ref,   # [M, N−1, BT] partial-sum rows; 0/1 values, so bf16 is
+                  # exact and halves the clone-gather bytes (`bit_dtype`)
+    bstate2_ref,  # [M, N−1, BT] (clone double buffer)
     pm_ref,       # [M, BT] f32 path metrics
     tparent_ref,  # [K, M, BT] f32 trace: parent slot per info phase
     tbit_ref,     # [K, M, BT] f32 trace: chosen bit
@@ -201,7 +204,7 @@ def _kernel_body(
     cllrs_ref,    # [K, M, BT] f32 reconstructed candidate LLRs
     curidx_ref,   # [M, BT] f32 backtrack cursor
     *,
-    N: int, M: int, K: int, use_crc: bool,
+    N: int, M: int, K: int, use_crc: bool, bit_dtype=jnp.float32,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -210,16 +213,15 @@ def _kernel_body(
     for level in range(1, n + 1):
         off[level] = o
         o += N >> level
-    SB = N - 1  # partial-sum row base
 
     def lrows(level):
         return slice(off[level], off[level] + (N >> level))
 
-    def brows(level):
-        return slice(SB + off[level], SB + off[level] + (N >> level))
+    brows = lrows  # same level layout, separate (bit) buffer
 
     # --- init ---------------------------------------------------------
     state_ref[...] = jnp.zeros_like(state_ref)
+    bstate_ref[...] = jnp.zeros_like(bstate_ref)
     slot = jax.lax.broadcasted_iota(jnp.int32, (M, BT), 0)
     pm_ref[...] = jnp.where(slot == 0, 0.0, _BIG)
 
@@ -238,12 +240,12 @@ def _kernel_body(
         for s in range(n, 0, -1):
             @pl.when(store_ref[phase, s] == 1)
             def _(s=s):
-                cur = cur0
+                cur = cur0.astype(bit_dtype)  # 0/1 values: exact in bf16
                 for level in range(n, s, -1):
-                    left = state_ref[:, brows(level), :]
-                    xor = left + cur - 2.0 * left * cur
+                    left = bstate_ref[:, brows(level), :]
+                    xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
                     cur = jnp.concatenate([xor, cur], axis=1)
-                state_ref[:, brows(s), :] = cur
+                bstate_ref[:, brows(s), :] = cur
 
     def _parent_halves(level):
         half = N >> level
@@ -261,7 +263,7 @@ def _kernel_body(
 
     def _apply_g(level):
         a, b = _parent_halves(level)
-        c = state_ref[:, brows(level), :]
+        c = bstate_ref[:, brows(level), :].astype(jnp.float32)
         state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
 
     def phase_body(phase, _):
@@ -331,16 +333,16 @@ def _kernel_body(
             # Clone-by-gather, restricted to levels still live at this
             # fork (exact reverse-schedule liveness; dead rows are always
             # rewritten before their next read).
-            def gather_rows(r0, r1):
+            def gather_rows(src, dst, r0, r1):
                 for m in range(M):
                     acc = None
                     for p in range(M):
                         contrib = jnp.where(
-                            parents[m] == float(p), state_ref[p, r0:r1, :], 0.0
+                            parents[m] == float(p), src[p, r0:r1, :], 0.0
                         )
                         acc = contrib if acc is None else acc + contrib
-                    state2_ref[m, r0:r1, :] = acc
-                state_ref[:, r0:r1, :] = state2_ref[:, r0:r1, :]
+                    dst[m, r0:r1, :] = acc
+                src[:, r0:r1, :] = dst[:, r0:r1, :]
 
             # Large levels gather conditionally (liveness saves real work);
             # small-level tails gather unconditionally in one contiguous
@@ -349,15 +351,19 @@ def _kernel_body(
             for level in cond_levels:
                 @pl.when(llrlive_ref[phase, level] == 1)
                 def _(level=level):
-                    gather_rows(off[level], off[level] + (N >> level))
+                    gather_rows(
+                        state_ref, state2_ref, off[level], off[level] + (N >> level)
+                    )
 
                 @pl.when(bitlive_ref[phase, level] == 1)
                 def _(level=level):
-                    gather_rows(SB + off[level], SB + off[level] + (N >> level))
+                    gather_rows(
+                        bstate_ref, bstate2_ref, off[level], off[level] + (N >> level)
+                    )
             tail = cond_levels[-1] + 1 if cond_levels else 1
             if tail <= n:
-                gather_rows(off[tail], N - 1)
-                gather_rows(SB + off[tail], SB + N - 1)
+                gather_rows(state_ref, state2_ref, off[tail], N - 1)
+                gather_rows(bstate_ref, bstate2_ref, off[tail], N - 1)
             pm_ref[...] = jnp.concatenate(pmc[:M], axis=0)
 
             # traces (leaf is indexed by the *old* slot = parent)
@@ -432,16 +438,18 @@ def _kernel_body(
 
 @functools.lru_cache(maxsize=32)
 def _build_kernel_for(
-    info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int, interpret: bool
+    info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int,
+    interpret: bool, bit_dtype_name: str = "float32",
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
     upd, store, frozen, infoidx, llr_live, bit_live, glevel = _schedule_tables(N, info_np)
     Hc = np.asarray(check_matrix(crc, K)) if crc is not None else None
-    n_state = 2 * (N - 1)
+    n_state = N - 1
+    bit_dtype = jnp.dtype(bit_dtype_name)
 
     kernel = functools.partial(
-        _kernel_body, N=N, M=M, K=K, use_crc=crc is not None
+        _kernel_body, N=N, M=M, K=K, use_crc=crc is not None, bit_dtype=bit_dtype
     )
 
     hc_arr = (
@@ -460,6 +468,8 @@ def _build_kernel_for(
     scratch_shapes = [
         pltpu.VMEM((M, n_state, BT), jnp.float32),
         pltpu.VMEM((M, n_state, BT), jnp.float32),
+        pltpu.VMEM((M, n_state, BT), bit_dtype),
+        pltpu.VMEM((M, n_state, BT), bit_dtype),
         pltpu.VMEM((M, BT), jnp.float32),
         pltpu.VMEM((K, M, BT), jnp.float32),
         pltpu.VMEM((K, M, BT), jnp.float32),
@@ -517,8 +527,13 @@ def decode_scl_pallas(
     force_info_bits: Optional[jnp.ndarray] = None,
     block_batch: Optional[int] = None,
     interpret: bool = False,
+    bit_dtype=jnp.float32,
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
+
+    bit_dtype: storage dtype of the partial-sum planes.  They hold 0/1
+    values only, so ``jnp.bfloat16`` is numerically EXACT (decisions are
+    bit-identical to f32) while halving the bit-plane clone-gather bytes.
 
     llr: [B, N] (B must be a multiple of `block_batch`).  Returns
     {"best_path_bits" int8 [B, K], "best_path_info_llrs" f32 [B, K],
@@ -537,7 +552,8 @@ def decode_scl_pallas(
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
 
     run = _build_kernel_for(
-        tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret
+        tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret,
+        jnp.dtype(bit_dtype).name,
     )
     llr_t = llr.T.astype(jnp.float32)  # [N, B]
     if force_info_bits is None:

@@ -30,7 +30,9 @@ from ..polar.construct import construct_info_set
 from ..utils.seeding import fold_key, make_key, seed_all
 
 
-def _make_oracle_chunk(cfg, info_set, M: int, batch: int, max_attempts: int):
+def _make_oracle_chunk(
+    cfg, info_set, M: int, batch: int, max_attempts: int, compact: int = 0
+):
     import jax
     import jax.numpy as jnp
 
@@ -38,22 +40,29 @@ def _make_oracle_chunk(cfg, info_set, M: int, batch: int, max_attempts: int):
 
     info_np = np.asarray(info_set)
     K = int(info_np.size)
-    use_pallas = (
-        resolve_backend("auto", batch=batch, M=M, dtype=jnp.float32) == "pallas"
-    )
+    B = batch
+    C = min(int(compact), B) if compact else 0
 
-    def _decode(llr, forced=None):
-        if use_pallas:
-            from ..ops.scl_pallas import decode_scl_pallas
+    def _decoder_for(n: int):
+        which = resolve_backend("auto", batch=n, M=M, dtype=jnp.float32)
 
-            out = decode_scl_pallas(
+        def _decode(llr, forced=None):
+            if which == "pallas":
+                from ..ops.scl_pallas import decode_scl_pallas
+
+                out = decode_scl_pallas(
+                    llr, info_np, M, cfg.crc_poly, force_info_bits=forced
+                )
+                return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
+            res = decode_scl_batch(
                 llr, info_np, M, cfg.crc_poly, force_info_bits=forced
             )
-            return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
-        res = decode_scl_batch(
-            llr, info_np, M, cfg.crc_poly, force_info_bits=forced
-        )
-        return res.best_path_bits, res.best_path_info_llrs, res.crc_pass
+            return res.best_path_bits, res.best_path_info_llrs, res.crc_pass
+
+        return _decode
+
+    _decode_full = _decoder_for(B)
+    _decode_chunk = _decoder_for(C) if C else _decode_full
     payload = np.zeros(cfg.K - cfg.crc_bits, dtype=np.int8)
     info_bits = attach_crc(payload, cfg.crc_poly)
     code = encode(info_bits)
@@ -61,20 +70,18 @@ def _make_oracle_chunk(cfg, info_set, M: int, batch: int, max_attempts: int):
     info_vec = jnp.asarray(info_bits.astype(np.int32))
     pos = jnp.arange(K)[None, :]
 
-    def chunk(key, noise_var):
-        llr = awgn_llr(key, jnp.broadcast_to(symbols, (batch, cfg.N)), noise_var)
-        best_bits, best_llrs, crc_pass = _decode(llr)
-        fail = ~crc_pass
-        abs_l0 = jnp.abs(best_llrs)  # [B, K]
-        order = jnp.argsort(abs_l0, axis=1)
+    def _oracle_scan(llr_n, best_bits_n, order_n, decode_n):
+        """≤ max_attempts forced retries on an [n]-frame slab."""
+
+        n = llr_n.shape[0]
 
         def body(carry, j):
             found, label = carry
-            idx = order[:, j]
-            flip_bit = (1 - jnp.take_along_axis(best_bits, idx[:, None], axis=1)).astype(jnp.int8)
-            forced = jnp.where(pos < idx[:, None], best_bits, jnp.int8(-1))
+            idx = order_n[:, j]
+            flip_bit = (1 - jnp.take_along_axis(best_bits_n, idx[:, None], axis=1)).astype(jnp.int8)
+            forced = jnp.where(pos < idx[:, None], best_bits_n, jnp.int8(-1))
             forced = jnp.where(pos == idx[:, None], flip_bit, forced)
-            r_bits, _, r_pass = _decode(llr, forced)
+            r_bits, _, r_pass = decode_n(llr_n, forced)
             ok = r_pass & jnp.all(
                 r_bits.astype(jnp.int32) == info_vec[None, :], axis=1
             )
@@ -84,9 +91,49 @@ def _make_oracle_chunk(cfg, info_set, M: int, batch: int, max_attempts: int):
 
         (found, label), _ = jax.lax.scan(
             body,
-            (jnp.zeros((batch,), bool), jnp.zeros((batch,), jnp.int32)),
+            (jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32)),
             jnp.arange(max_attempts),
         )
+        return found, label
+
+    def chunk(key, noise_var):
+        llr = awgn_llr(key, jnp.broadcast_to(symbols, (B, cfg.N)), noise_var)
+        best_bits, best_llrs, crc_pass = _decode_full(llr)
+        fail = ~crc_pass
+        abs_l0 = jnp.abs(best_llrs)  # [B, K]
+        order = jnp.argsort(abs_l0, axis=1)
+
+        if not C:
+            found, label = _oracle_scan(llr, best_bits, order, _decode_full)
+        else:
+            # Only failed frames need the oracle search: gather them into
+            # fixed-capacity slabs on-device (same scheme as the retry
+            # compaction in dlscl/flip.py), search, scatter labels back.
+            count = jnp.sum(fail.astype(jnp.int32))
+            perm = jnp.argsort(~fail, stable=True).astype(jnp.int32)
+            nchunks = (count + C - 1) // C
+
+            def cond(c):
+                return c[0] < nchunks
+
+            def slab(c):
+                i, found, label = c
+                offs = i * C + jnp.arange(C, dtype=jnp.int32)
+                valid = offs < count
+                sel_raw = perm[jnp.minimum(offs, B - 1)]
+                sel = jnp.where(valid, sel_raw, B)  # B = dropped
+                f_c, l_c = _oracle_scan(
+                    llr[sel_raw], best_bits[sel_raw], order[sel_raw], _decode_chunk
+                )
+                found = found.at[sel].set(f_c, mode="drop")
+                label = label.at[sel].set(l_c, mode="drop")
+                return (i + 1, found, label)
+
+            _, found, label = jax.lax.while_loop(
+                cond,
+                slab,
+                (jnp.int32(0), jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32)),
+            )
         return {
             "fail": fail,
             "labeled": fail & found,
@@ -108,9 +155,14 @@ def generate_samples(args: argparse.Namespace) -> None:
     info_set = construct_info_set(cfg.N, cfg.K)
     noise_var = noise_var_coded(args.snr_db, cfg.K, cfg.N)
 
+    from ..sim.pipeline import _resolve_compact
+
     batch = min(args.batch, max(args.frames, 1))
     max_attempts = min(8, cfg.K)
-    chunk_fn = _make_oracle_chunk(cfg, info_set, args.M, batch, max_attempts)
+    chunk_fn = _make_oracle_chunk(
+        cfg, info_set, args.M, batch, max_attempts,
+        compact=_resolve_compact(args.compact, False, batch),
+    )
     root_key = make_key(args.seed)
 
     abs_l0_samples: List[np.ndarray] = []
@@ -118,9 +170,10 @@ def generate_samples(args: argparse.Namespace) -> None:
     failures = 0
     frames_done = 0
     chunk_idx = 0
-    while frames_done < args.frames:
-        out = jax.device_get(chunk_fn(fold_key(root_key, chunk_idx), noise_var))
-        take = min(batch, args.frames - frames_done)
+    window: List = []  # keep several chunks in flight (async dispatch)
+
+    def drain(out, take):
+        nonlocal failures
         fail = out["fail"][:take]
         labeled = out["labeled"][:take]
         failures += int(np.sum(fail & ~labeled))
@@ -128,8 +181,17 @@ def generate_samples(args: argparse.Namespace) -> None:
         for i in sel:
             abs_l0_samples.append(out["abs_l0"][i])
             labels.append(int(out["label"][i]))
+
+    while frames_done < args.frames:
+        take = min(batch, args.frames - frames_done)
+        window.append((chunk_fn(fold_key(root_key, chunk_idx), noise_var), take))
         frames_done += take
         chunk_idx += 1
+        if len(window) >= 16:
+            out, take = window.pop(0)
+            drain(jax.device_get(out), take)
+    for out, take in window:
+        drain(jax.device_get(out), take)
 
     if not abs_l0_samples:
         raise RuntimeError("No samples collected; consider increasing frames or SNR")
@@ -163,6 +225,11 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0, help="RNG seed")
     parser.add_argument("--out", type=str, required=True, help="Output prefix for dataset shards")
     parser.add_argument("--batch", type=int, default=4096, help="Frames per device chunk")
+    parser.add_argument(
+        "--compact", type=int, default=-1,
+        help="Oracle-search compaction capacity (−1 auto, 0 off): only "
+             "baseline-failing frames go through the ≤8-attempt search",
+    )
     return parser
 
 

@@ -78,6 +78,41 @@ def test_compact_equals_masked(M, use_beta, snr_db, capacity):
     )
 
 
+def test_dataset_oracle_compact_equals_masked():
+    """Compacted oracle search labels exactly the frames the masked one does.
+
+    `found`/`label` may differ on baseline-passing frames (the compacted
+    path never searches them), but everything the dataset writer consumes —
+    fail, labeled, label-at-labeled, abs_l0 — must match exactly.
+    """
+
+    import jax
+    import jax.numpy as jnp
+
+    from polar_code_tpu import config
+    from polar_code_tpu.channel import noise_var_coded
+    from polar_code_tpu.train.make_dataset import _make_oracle_chunk
+    from polar_code_tpu.utils.seeding import make_key
+
+    cfg = config.get_config()
+    info_set = construct_info_set(cfg.N, cfg.K)
+    B = 32
+    nv = noise_var_coded(3.5, cfg.K, cfg.N)
+    key = make_key(11)
+
+    masked = jax.device_get(_make_oracle_chunk(cfg, info_set, 1, B, 8)(key, nv))
+    compact = jax.device_get(
+        _make_oracle_chunk(cfg, info_set, 1, B, 8, compact=8)(key, nv)
+    )
+
+    assert int(np.sum(masked["labeled"])) > 0  # non-trivial scenario
+    np.testing.assert_array_equal(compact["fail"], masked["fail"])
+    np.testing.assert_array_equal(compact["labeled"], masked["labeled"])
+    sel = np.where(masked["labeled"])[0]
+    np.testing.assert_array_equal(compact["label"][sel], masked["label"][sel])
+    np.testing.assert_array_equal(compact["abs_l0"], masked["abs_l0"])
+
+
 def test_compact_rejects_sharded():
     info_set = construct_info_set(N, K)
     llr = jnp.zeros((8, N), jnp.float32)

@@ -71,3 +71,21 @@ def test_kernel_rejects_bad_shapes(info_set):
         decode_scl_pallas(_llrs(), info_set, 3, CRC, interpret=True)
     with pytest.raises(ValueError):
         decode_scl_pallas(_llrs(), info_set, 2, CRC, block_batch=3, interpret=True)
+
+
+@pytest.mark.parametrize("M", [1, 4])
+def test_kernel_bf16_bit_planes_bit_identical(info_set, M):
+    """bf16 partial-sum planes hold 0/1 values only — decisions, metrics and
+    returned LLRs must be bit-identical to the f32 kernel (and hence to the
+    XLA decoder)."""
+
+    llr = _llrs(seed=13)
+    f32 = decode_scl_pallas(llr, info_set, M, CRC, block_batch=B, interpret=True)
+    bf16 = decode_scl_pallas(
+        llr, info_set, M, CRC, block_batch=B, interpret=True,
+        bit_dtype=jnp.bfloat16,
+    )
+    for key in ("best_path_bits", "best_path_info_llrs", "crc_pass"):
+        np.testing.assert_array_equal(
+            np.asarray(bf16[key]), np.asarray(f32[key]), err_msg=key
+        )
