@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.crc import check_crc
-from ..ops.scl import decode_scl_batch
 from ..polar import api as polar_api
 
 
@@ -179,23 +178,23 @@ def decode_with_retries_batch(
     if compact_capacity:
         if backend == "pallas_sharded":
             raise ValueError("compaction does not compose with pallas_sharded")
-        return _decode_with_retries_compact(
-            llr, info_np, M, retries, crc=crc, beta_arr=beta_arr, dtype=dtype,
-            backend=backend, capacity=int(compact_capacity),
-        )
+        from ..ops.backend import auto_compact_capacity
+
+        capacity = auto_compact_capacity(int(compact_capacity), B)
+        if capacity:
+            return _decode_with_retries_compact(
+                llr, info_np, M, retries, crc=crc, beta_arr=beta_arr,
+                dtype=dtype, backend=backend, capacity=capacity,
+            )
     pos = jnp.arange(K)[None, :]
 
-    from ..ops.backend import resolve_backend
+    from ..ops.backend import make_scl_decoder
 
-    use_pallas = backend != "pallas_sharded" and (
-        resolve_backend(backend, batch=B, M=M, dtype=dtype) == "pallas"
-    )
-
-    def _decode(forced):
-        if backend == "pallas_sharded":
-            # explicit opt-in: fused kernel per device shard via shard_map
-            # (mesh comes from `sharded_mesh`; validated in interpret mode on
-            # the virtual CPU mesh — real multi-chip requires hardware)
+    if backend == "pallas_sharded":
+        # explicit opt-in: fused kernel per device shard via shard_map
+        # (mesh comes from `sharded_mesh`; validated in interpret mode on
+        # the virtual CPU mesh — real multi-chip requires hardware)
+        def _decode(forced):
             from ..ops.scl_pallas import decode_scl_pallas_sharded
 
             out = decode_scl_pallas_sharded(
@@ -204,13 +203,11 @@ def decode_with_retries_batch(
                 block_batch=sharded_block, interpret=sharded_interpret,
             )
             return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
-        if use_pallas:
-            from ..ops.scl_pallas import decode_scl_pallas
+    else:
+        _dec_full = make_scl_decoder(info_np, M, crc, batch=B, dtype=dtype, backend=backend)
 
-            out = decode_scl_pallas(llr, info_np, M, crc, force_info_bits=forced)
-            return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
-        res = decode_scl_batch(llr, info_np, M, crc, force_info_bits=forced, dtype=dtype)
-        return res.best_path_bits, res.best_path_info_llrs, res.crc_pass
+        def _decode(forced):
+            return _dec_full(llr, forced)
 
     def body(carry, t):
         done, best_bits, best_llrs, tried, attempts, base_pass, base_bits = carry
@@ -297,23 +294,18 @@ def _decode_with_retries_compact(
     C = min(int(capacity), B)
     pos = jnp.arange(K)[None, :]
 
-    from ..ops.backend import resolve_backend
+    from ..ops.backend import make_scl_decoder
 
-    full_backend = resolve_backend(backend, batch=B, M=M, dtype=dtype)
-    chunk_backend = resolve_backend(backend, batch=C, M=M, dtype=dtype)
-
-    def _dec(llr_in, forced, which):
-        if which == "pallas":
-            from ..ops.scl_pallas import decode_scl_pallas
-
-            out = decode_scl_pallas(llr_in, info_np, M, crc, force_info_bits=forced)
-            return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
-        res = decode_scl_batch(llr_in, info_np, M, crc, force_info_bits=forced, dtype=dtype)
-        return res.best_path_bits, res.best_path_info_llrs, res.crc_pass
-
-    base_bits, base_llrs, base_pass = _dec(
-        llr, jnp.full((B, K), -1, jnp.int8), full_backend
+    dec_full = make_scl_decoder(info_np, M, crc, batch=B, dtype=dtype, backend=backend)
+    # an explicit "pallas" request may be ineligible at the chunk size
+    # (C not a block multiple) — fall back to xla for the chunks rather
+    # than raising for the whole sweep
+    chunk_backend = "auto" if backend == "pallas" else backend
+    dec_chunk = make_scl_decoder(
+        info_np, M, crc, batch=C, dtype=dtype, backend=chunk_backend
     )
+
+    base_bits, base_llrs, base_pass = dec_full(llr, jnp.full((B, K), -1, jnp.int8))
 
     def retry_body(carry, _):
         done, best_bits, best_llrs, tried, attempts = carry
@@ -347,7 +339,7 @@ def _decode_with_retries_compact(
             forced = jnp.where(pos < idx[:, None], bb, jnp.int8(-1))
             forced = jnp.where(pos == idx[:, None], flip, forced)
 
-            r_bits, r_llrs, r_pass = _dec(llr_c, forced, chunk_backend)
+            r_bits, r_llrs, r_pass = dec_chunk(llr_c, forced)
 
             best_bits = best_bits.at[sel].set(r_bits, mode="drop")
             best_llrs = best_llrs.at[sel].set(r_llrs.astype(dtype), mode="drop")

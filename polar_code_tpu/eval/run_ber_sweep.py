@@ -72,6 +72,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
     if args.scheme in {"polar_scl", "dl_scl", "nr_polar_scl"}:
         info_set = construct_info_set(N, K_total)
 
+    bg = None
     if args.scheme == "polar_scl":
         params_label = f"M={args.M}"
     elif args.scheme == "dl_scl":
@@ -79,7 +80,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
     elif args.scheme == "nr_polar_scl":
         params_label = f"M={args.M},ilv={args.ilv_mode}"
     elif args.scheme == "nr_ldpc":
-        bg = _resolve_base_graph(args)
+        bg = _resolve_base_graph(args)  # resolved once, reused for the chunk
         H = build_h_matrix(bg, args.Z)
         k = H.shape[1] - H.shape[0]
         if k != K_total:
@@ -100,7 +101,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
         K_crc=args.K_crc, crc_poly=args.crc_poly, info_set=info_set,
         M=args.M, retries=args.retries, beta=beta, ilv_mode=args.ilv_mode,
         H=H, max_iter=args.max_iter, alpha=args.alpha, batch=batch, mesh=mesh,
-        ldpc_bg=_resolve_base_graph(args) if args.scheme == "nr_ldpc" else None,
+        ldpc_bg=bg,
         ldpc_Z=args.Z if args.scheme == "nr_ldpc" else None,
         compact=args.compact,
     )

@@ -56,4 +56,47 @@ def resolve_backend(
     return "pallas" if eligible else "xla"
 
 
-__all__ = ["resolve_backend", "on_tpu", "PALLAS_BLOCK"]
+def make_scl_decoder(info_np, M: int, crc, *, batch: int, dtype, backend: str = "auto"):
+    """Shared kernel/XLA dispatch: returns `decode(llr[, forced]) ->
+    (best_path_bits, best_path_info_llrs, crc_pass)` for the given shape.
+
+    Falls back to the XLA decoder whenever the batch/backend is not
+    Pallas-eligible (an explicit "pallas" request for an ineligible batch
+    still raises, from `resolve_backend`)."""
+
+    which = resolve_backend(backend, batch=batch, M=M, dtype=dtype)
+
+    def decode(llr, forced=None):
+        if which == "pallas":
+            from .scl_pallas import decode_scl_pallas
+
+            out = decode_scl_pallas(llr, info_np, M, crc, force_info_bits=forced)
+            return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
+        from .scl import decode_scl_batch
+
+        res = decode_scl_batch(llr, info_np, M, crc, force_info_bits=forced, dtype=dtype)
+        return res.best_path_bits, res.best_path_info_llrs, res.crc_pass
+
+    return decode
+
+
+def auto_compact_capacity(compact: int, batch: int, multi: bool = False) -> int:
+    """Normalize a compaction request: −1 = auto (PALLAS_BLOCK on a single
+    TPU device, else off), 0 = off, >0 = explicit capacity (clamped to the
+    batch).  Multi-device meshes always resolve to 0 so the gathers stay
+    on-chip."""
+
+    if multi or compact == 0:
+        return 0
+    if compact > 0:
+        return min(compact, batch)
+    return PALLAS_BLOCK if (on_tpu() and batch > PALLAS_BLOCK) else 0
+
+
+__all__ = [
+    "resolve_backend",
+    "on_tpu",
+    "PALLAS_BLOCK",
+    "make_scl_decoder",
+    "auto_compact_capacity",
+]

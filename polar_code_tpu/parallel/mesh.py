@@ -55,14 +55,29 @@ def shard_frames(x, mesh: Optional[Mesh], axis: int = 0):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
+# env markers of managed-cluster runtimes that JAX's own auto-detection
+# (jax._src.clusters: SLURM, OpenMPI, k8s, GCE/GKE TPU pods) understands
+_CLUSTER_MARKERS = (
+    "SLURM_JOB_ID",
+    "OMPI_COMM_WORLD_SIZE",
+    "KUBERNETES_SERVICE_HOST",
+    "TPU_WORKER_HOSTNAMES",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
 def maybe_distributed_init() -> bool:
     """Initialize multi-host JAX when launched under a pod/cluster runtime.
 
-    No-op in single-process runs.  Activates when ``JAX_COORDINATOR_ADDRESS``
-    is set (with optional ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``, required
-    outside managed clusters), or defers to JAX's own cluster auto-detection
-    (SLURM, GKE/GCE TPU pods, OpenMPI) when those are detectable.  Idempotent:
-    a second call is a no-op.  Returns True when running multi-process.
+    No-op in single-process runs.  Two activation paths, checked in order:
+
+    1. ``JAX_COORDINATOR_ADDRESS`` set (with ``JAX_NUM_PROCESSES`` /
+       ``JAX_PROCESS_ID``, required outside managed clusters) — explicit;
+    2. a managed-cluster env marker present (SLURM, OpenMPI, k8s, TPU pod)
+       — defer to ``jax.distributed.initialize()`` auto-detection; failure
+       to detect falls back to single-process with a warning.
+
+    Idempotent: a second call is a no-op.  Returns True when multi-process.
     """
 
     global _DIST_INITIALIZED
@@ -78,6 +93,17 @@ def maybe_distributed_init() -> bool:
             process_id=int(pid) if pid else None,
         )
         _DIST_INITIALIZED = True
+    elif any(os.environ.get(m) for m in _CLUSTER_MARKERS):
+        try:
+            jax.distributed.initialize()
+            _DIST_INITIALIZED = True
+        except Exception as exc:
+            import warnings
+
+            warnings.warn(
+                f"cluster markers present but jax.distributed auto-detection "
+                f"failed ({exc}); continuing single-process"
+            )
     return jax.process_count() > 1
 
 

@@ -121,18 +121,14 @@ def _crc_degree(poly: str) -> int:
 
 
 def _resolve_compact(compact: int, multi: bool, batch: int) -> int:
-    """Retry-compaction capacity: −1 = auto (PALLAS_BLOCK on a single TPU
-    device — measured 4–5× FER-sweep speedup at every Eb/N0, identical
-    results; see tools/bench_compact.py), 0 = masked full-batch retries.
-    Disabled on multi-device meshes so gathers stay on-chip."""
+    """Retry-compaction capacity (−1 auto / 0 off / >0 explicit — measured
+    4–5× FER-sweep speedup at every Eb/N0 with identical results, see
+    tools/bench_compact.py). Multi-device meshes resolve to 0 so the
+    gathers stay on-chip."""
 
-    if multi or compact == 0:
-        return 0
-    if compact > 0:
-        return compact
-    from ..ops.backend import PALLAS_BLOCK, on_tpu
+    from ..ops.backend import auto_compact_capacity
 
-    return PALLAS_BLOCK if (on_tpu() and batch > PALLAS_BLOCK) else 0
+    return auto_compact_capacity(compact, batch, multi=multi)
 
 
 def make_ber_chunk(

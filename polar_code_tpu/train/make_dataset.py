@@ -24,7 +24,6 @@ import numpy as np
 from .. import config
 from ..channel import awgn_llr, noise_var_coded
 from ..ops.crc import attach_crc
-from ..ops.scl import decode_scl_batch
 from ..polar.api import encode
 from ..polar.construct import construct_info_set
 from ..utils.seeding import fold_key, make_key, seed_all
@@ -36,33 +35,21 @@ def _make_oracle_chunk(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.backend import resolve_backend
+    from ..ops.backend import make_scl_decoder
 
     info_np = np.asarray(info_set)
     K = int(info_np.size)
     B = batch
     C = min(int(compact), B) if compact else 0
 
-    def _decoder_for(n: int):
-        which = resolve_backend("auto", batch=n, M=M, dtype=jnp.float32)
-
-        def _decode(llr, forced=None):
-            if which == "pallas":
-                from ..ops.scl_pallas import decode_scl_pallas
-
-                out = decode_scl_pallas(
-                    llr, info_np, M, cfg.crc_poly, force_info_bits=forced
-                )
-                return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
-            res = decode_scl_batch(
-                llr, info_np, M, cfg.crc_poly, force_info_bits=forced
-            )
-            return res.best_path_bits, res.best_path_info_llrs, res.crc_pass
-
-        return _decode
-
-    _decode_full = _decoder_for(B)
-    _decode_chunk = _decoder_for(C) if C else _decode_full
+    _decode_full = make_scl_decoder(
+        info_np, M, cfg.crc_poly, batch=B, dtype=jnp.float32
+    )
+    _decode_chunk = (
+        make_scl_decoder(info_np, M, cfg.crc_poly, batch=C, dtype=jnp.float32)
+        if C
+        else _decode_full
+    )
     payload = np.zeros(cfg.K - cfg.crc_bits, dtype=np.int8)
     info_bits = attach_crc(payload, cfg.crc_poly)
     code = encode(info_bits)
@@ -155,13 +142,13 @@ def generate_samples(args: argparse.Namespace) -> None:
     info_set = construct_info_set(cfg.N, cfg.K)
     noise_var = noise_var_coded(args.snr_db, cfg.K, cfg.N)
 
-    from ..sim.pipeline import _resolve_compact
+    from ..ops.backend import auto_compact_capacity
 
     batch = min(args.batch, max(args.frames, 1))
     max_attempts = min(8, cfg.K)
     chunk_fn = _make_oracle_chunk(
         cfg, info_set, args.M, batch, max_attempts,
-        compact=_resolve_compact(args.compact, False, batch),
+        compact=auto_compact_capacity(args.compact, batch),
     )
     root_key = make_key(args.seed)
 

@@ -24,7 +24,9 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     import jax
 
     if os.environ.get("JAX_COMPILATION_CACHE_DIR") and path is None:
-        return os.environ["JAX_COMPILATION_CACHE_DIR"]
+        # the env var only takes effect if it was set before jax import;
+        # applying it via config makes this order-independent
+        path = os.environ["JAX_COMPILATION_CACHE_DIR"]
     if path is None:
         path = os.path.join(
             os.path.expanduser("~"), ".cache", "polar_code_tpu", "jax"

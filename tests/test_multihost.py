@@ -66,26 +66,31 @@ def test_two_process_sweep_matches_single_process(tmp_path):
     out, _ = p.communicate(timeout=900)
     assert p.returncode == 0, f"single-process worker failed:\n{out}"
 
-    # 2 processes × 4 devices over jax.distributed (env-var init path)
-    port = _free_port()
-    coord = f"127.0.0.1:{port}"
-    procs = [
-        _launch(
-            [
-                "--process_id", str(pid),
-                "--num_processes", "2",
-                "--coordinator", coord,
-            ],
-            multi_dir,
-            tmp_path / "plots2",
-            devices_per_proc=4,
-        )
-        for pid in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    # 2 processes × 4 devices over jax.distributed (env-var init path).
+    # _free_port is inherently racy (bound, closed, reused later), so retry
+    # once on a fresh port before declaring failure.
+    for attempt in range(2):
+        port = _free_port()
+        coord = f"127.0.0.1:{port}"
+        procs = [
+            _launch(
+                [
+                    "--process_id", str(pid),
+                    "--num_processes", "2",
+                    "--coordinator", coord,
+                ],
+                multi_dir,
+                tmp_path / "plots2",
+                devices_per_proc=4,
+            )
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"distributed worker failed:\n{out}"
 

@@ -8,23 +8,26 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import time, sys
+import time
+
 import numpy as np
-import jax, jax.numpy as jnp
+import jax
 from polar_code_tpu import config
 from polar_code_tpu.channel import noise_var_coded, noise_var_uncoded
 from polar_code_tpu.polar.construct import construct_info_set
 from polar_code_tpu.sim.pipeline import make_fer_chunk
+from polar_code_tpu.utils.cache import enable_compilation_cache
 from polar_code_tpu.utils.seeding import fold_key, make_key
+
+enable_compilation_cache()  # the compact chunk graphs cost ~2 min to compile
 
 cfg = config.DEFAULTS
 info = construct_info_set(cfg.N, cfg.K)
-beta = np.load("checkpoints/beta_M8.npy")
+beta = np.load(str(Path(__file__).resolve().parent.parent / "checkpoints/beta_M8.npy"))
 B = 8192
 M, retries = 8, 8
 root = make_key(0)
 
-import itertools
 fns = {}
 for compact in [0, 128, 256, 512, 1024]:
     fns[compact] = make_fer_chunk(N=cfg.N, K=cfg.K, crc_poly=cfg.crc_poly, info_set=info,
