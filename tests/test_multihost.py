@@ -102,3 +102,28 @@ def test_two_process_sweep_matches_single_process(tmp_path):
     # only the coordinator writes artifacts
     assert "Saved FER table" in outs[0]
     assert "Saved FER table" not in outs[1]
+
+
+def test_cluster_marker_fallback_is_graceful():
+    """A cluster marker without a resolvable cluster must warn and fall back
+    to single-process, not crash (maybe_distributed_init auto-detect path)."""
+
+    code = (
+        "import os, warnings\n"
+        "os.environ['SLURM_JOB_ID'] = '1234'\n"  # marker without real SLURM env
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from polar_code_tpu.parallel.mesh import maybe_distributed_init\n"
+        "with warnings.catch_warnings(record=True) as w:\n"
+        "    warnings.simplefilter('always')\n"
+        "    multi = maybe_distributed_init()\n"
+        "assert multi is False, multi\n"
+        "assert jax.process_count() == 1\n"
+        "print('fallback ok, warned:', any('auto-detection failed' in str(x.message) for x in w))\n"
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", code], env=_worker_env(), cwd=str(REPO),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "fallback ok" in p.stdout
