@@ -24,8 +24,9 @@ math, reference `dl_scl_polar/polar/scl.py`):
 * Fork/prune at info phases: 2M candidate metrics with the exact
   `log(1+e^∓LLR)` penalty; a Batcher odd-even sorting network over
   (metric, creation-index) pairs reproduces the reference's stable sort
-  bit-for-bit; clone-by-gather is an M² masked-select into a double
-  buffer, restricted to the state rows still *live* at that fork (exact
+  bit-for-bit; clone-by-gather is a binary select tree over the M source
+  paths (M−1 vector selects per output, written straight back in place),
+  restricted to the state rows still *live* at that fork (exact
   reverse-schedule liveness; small-level tails gather unconditionally to
   avoid branch overhead).  Unused list slots carry +inf metrics.
 * Path histories are NOT gathered every phase: (parent, bit, leaf-LLR)
@@ -168,15 +169,32 @@ def _softplus(x):
     return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
+def _index_bits(idx, m: int):
+    """LSB-first bit planes of a float index in [0, m): list of [1, BT] bools."""
+
+    bits = []
+    x = idx
+    for _ in range((m - 1).bit_length() if m > 1 else 0):
+        half = jnp.floor(x * 0.5)
+        bits.append(x - 2.0 * half == 1.0)
+        x = half
+    return bits
+
+
 def _select_m(rows, idx):
-    """rows: [M, BT]; idx: [1, BT] float path index → gathered [1, BT]."""
+    """rows: [M, BT]; idx: [1, BT] float path index → gathered [1, BT].
+
+    Binary select tree: M−1 vector selects instead of the masked-sum's
+    M selects + M adds.
+    """
 
     M = rows.shape[0]
-    acc = None
-    for p in range(M):
-        contrib = jnp.where(idx == float(p), rows[p : p + 1, :], 0.0)
-        acc = contrib if acc is None else acc + contrib
-    return acc
+    if M == 1:
+        return rows[0:1, :]
+    vals = [rows[p : p + 1, :] for p in range(M)]
+    for cond in _index_bits(idx, M):
+        vals = [jnp.where(cond, vals[2 * j + 1], vals[2 * j]) for j in range(len(vals) // 2)]
+    return vals[0]
 
 
 def _kernel_body(
@@ -192,10 +210,8 @@ def _kernel_body(
     pass_ref,     # [1, BT] int32 CRC pass
     # scratch
     state_ref,    # [M, N−1, BT] f32 LLR rows (one active node per level)
-    state2_ref,   # [M, N−1, BT] f32 (clone double buffer)
     bstate_ref,   # [M, N−1, BT] partial-sum rows; 0/1 values, so bf16 is
                   # exact and halves the clone-gather bytes (`bit_dtype`)
-    bstate2_ref,  # [M, N−1, BT] (clone double buffer)
     pm_ref,       # [M, BT] f32 path metrics
     tparent_ref,  # [K, M, BT] f32 trace: parent slot per info phase
     tbit_ref,     # [K, M, BT] f32 trace: chosen bit
@@ -332,17 +348,27 @@ def _kernel_body(
 
             # Clone-by-gather, restricted to levels still live at this
             # fork (exact reverse-schedule liveness; dead rows are always
-            # rewritten before their next read).
-            def gather_rows(src, dst, r0, r1):
+            # rewritten before their next read).  Each output path is a
+            # binary select tree over the M source paths keyed by the bit
+            # planes of its parent index — M−1 full-width selects per
+            # output instead of the masked-sum's M selects + M adds, and
+            # the stacked result writes straight back (no double buffer).
+            parent_bits = [_index_bits(parents[m], M) for m in range(M)]
+
+            def gather_rows(src, r0, r1):
+                if M == 1:
+                    return  # single path: parent is always slot 0
+                srcs = [src[p, r0:r1, :] for p in range(M)]
+                outs = []
                 for m in range(M):
-                    acc = None
-                    for p in range(M):
-                        contrib = jnp.where(
-                            parents[m] == float(p), src[p, r0:r1, :], 0.0
-                        )
-                        acc = contrib if acc is None else acc + contrib
-                    dst[m, r0:r1, :] = acc
-                src[:, r0:r1, :] = dst[:, r0:r1, :]
+                    vals = srcs
+                    for cond in parent_bits[m]:
+                        vals = [
+                            jnp.where(cond, vals[2 * j + 1], vals[2 * j])
+                            for j in range(len(vals) // 2)
+                        ]
+                    outs.append(vals[0])
+                src[:, r0:r1, :] = jnp.stack(outs, axis=0)
 
             # Large levels gather conditionally (liveness saves real work);
             # small-level tails gather unconditionally in one contiguous
@@ -351,19 +377,15 @@ def _kernel_body(
             for level in cond_levels:
                 @pl.when(llrlive_ref[phase, level] == 1)
                 def _(level=level):
-                    gather_rows(
-                        state_ref, state2_ref, off[level], off[level] + (N >> level)
-                    )
+                    gather_rows(state_ref, off[level], off[level] + (N >> level))
 
                 @pl.when(bitlive_ref[phase, level] == 1)
                 def _(level=level):
-                    gather_rows(
-                        bstate_ref, bstate2_ref, off[level], off[level] + (N >> level)
-                    )
+                    gather_rows(bstate_ref, off[level], off[level] + (N >> level))
             tail = cond_levels[-1] + 1 if cond_levels else 1
             if tail <= n:
-                gather_rows(state_ref, state2_ref, off[tail], N - 1)
-                gather_rows(bstate_ref, bstate2_ref, off[tail], N - 1)
+                gather_rows(state_ref, off[tail], N - 1)
+                gather_rows(bstate_ref, off[tail], N - 1)
             pm_ref[...] = jnp.concatenate(pmc[:M], axis=0)
 
             # traces (leaf is indexed by the *old* slot = parent)
@@ -467,8 +489,6 @@ def _build_kernel_for(
     ]
     scratch_shapes = [
         pltpu.VMEM((M, n_state, BT), jnp.float32),
-        pltpu.VMEM((M, n_state, BT), jnp.float32),
-        pltpu.VMEM((M, n_state, BT), bit_dtype),
         pltpu.VMEM((M, n_state, BT), bit_dtype),
         pltpu.VMEM((M, BT), jnp.float32),
         pltpu.VMEM((K, M, BT), jnp.float32),
