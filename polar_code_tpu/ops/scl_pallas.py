@@ -315,16 +315,17 @@ def _kernel_body(
         def _():
             i = infoidx_ref[phase]
             fb = forced_ref[pl.ds(i, 1), :].astype(jnp.float32)  # [1, BT]
+            # Candidate metrics computed on full [M, BT] vregs (the forced
+            # mask broadcasts), then sliced into the sort network's rows —
+            # one softplus chain instead of M single-sublane ones.
+            lf = leaf[:, 0, :]  # [M, BT]
+            base = pm_ref[...]
+            c0a = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, base + _softplus(-lf))
+            c1a = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, base + _softplus(lf))
             pmc = []
             idxs = []
             for p in range(M):
-                lp = leaf[p]  # [1, BT]
-                base = pm_ref[p : p + 1, :]
-                c0 = base + _softplus(-lp)
-                c1 = base + _softplus(lp)
-                c0 = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, c0)
-                c1 = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, c1)
-                pmc += [c0, c1]
+                pmc += [c0a[p : p + 1, :], c1a[p : p + 1, :]]
                 idxs += [
                     jnp.full((1, BT), float(2 * p), jnp.float32),
                     jnp.full((1, BT), float(2 * p + 1), jnp.float32),
