@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.crc import check_matrix
-from ..ops.scl_pallas import _batcher_pairs, _schedule_tables, _select_m
+from ..ops.scl_pallas import _batcher_pairs, _index_bits, _schedule_tables, _select_m
 from .rate_profile import bitreversed
 
 _BIG = 3.0e38
@@ -50,9 +50,9 @@ def _kernel_body(
     bits_ref,  # [Kp, BT] i32 best-path v bits in phase order
     pass_ref,  # [1, BT] i32
     # scratch
-    state_ref, state2_ref,   # [L, 2(N−1), BT] f32 (llr rows ‖ edge-bit rows)
+    state_ref,               # [L, 2(N−1), BT] f32 (llr rows ‖ edge-bit rows)
     pm_ref,                  # [L, BT] f32
-    conv_ref, conv2_ref,     # [L, mem, BT] f32 shift registers
+    conv_ref,                # [L, mem, BT] f32 shift registers
     tparent_ref, tbit_ref,   # [Kp, L, BT] f32 traces
     cbits_ref,               # [Kp, L, BT] f32 reconstructed candidates
     curidx_ref,              # [L, BT] f32
@@ -185,16 +185,28 @@ def _kernel_body(
                 parents.append(idxs[m] - float(L) * is_bad)
                 badflags.append(is_bad)
 
-            def gather_rows(r0, r1):
+            # Binary select tree per output path (see ops/scl_pallas.py):
+            # L−1 full-width selects instead of L selects + L adds, written
+            # straight back in place.  L=1 skips (parent is always slot 0).
+            parent_bits = [_index_bits(parents[m], L) for m in range(L)]
+
+            def tree_gather(srcs):
+                outs = []
                 for m in range(L):
-                    acc = None
-                    for p in range(L):
-                        contrib = jnp.where(
-                            parents[m] == float(p), state_ref[p, r0:r1, :], 0.0
-                        )
-                        acc = contrib if acc is None else acc + contrib
-                    state2_ref[m, r0:r1, :] = acc
-                state_ref[:, r0:r1, :] = state2_ref[:, r0:r1, :]
+                    vals = srcs
+                    for cond in parent_bits[m]:
+                        vals = [
+                            jnp.where(cond, vals[2 * j + 1], vals[2 * j])
+                            for j in range(len(vals) // 2)
+                        ]
+                    outs.append(vals[0])
+                return outs
+
+            def gather_rows(r0, r1):
+                if L == 1:
+                    return
+                outs = tree_gather([state_ref[p, r0:r1, :] for p in range(L)])
+                state_ref[:, r0:r1, :] = jnp.stack(outs, axis=0)
 
             cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
             for level in cond_levels:
@@ -211,13 +223,9 @@ def _kernel_body(
                 gather_rows(SB + off[tail], SB + N - 1)
 
             # gather conv state and pm; compute per-path decisions
-            for m in range(L):
-                acc = None
-                for p in range(L):
-                    contrib = jnp.where(parents[m] == float(p), conv_ref[p], 0.0)
-                    acc = contrib if acc is None else acc + contrib
-                conv2_ref[m] = acc
-            conv_ref[...] = conv2_ref[...]
+            if L > 1:
+                outs = tree_gather([conv_ref[p] for p in range(L)])
+                conv_ref[...] = jnp.stack(outs, axis=0)
             pm_ref[...] = jnp.concatenate(pmc[:L], axis=0)
 
             vg_rows = []
@@ -338,9 +346,7 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
             ],
             scratch_shapes=[
                 pltpu.VMEM((L, n_state, BT), jnp.float32),
-                pltpu.VMEM((L, n_state, BT), jnp.float32),
                 pltpu.VMEM((L, BT), jnp.float32),
-                pltpu.VMEM((L, max(mem, 1), BT), jnp.float32),
                 pltpu.VMEM((L, max(mem, 1), BT), jnp.float32),
                 pltpu.VMEM((Kp, L, BT), jnp.float32),
                 pltpu.VMEM((Kp, L, BT), jnp.float32),
