@@ -22,9 +22,11 @@ math, reference `dl_scl_polar/polar/scl.py`):
   so the Mosaic graph stays small while the executed instruction stream
   is minimal.
 * Fork/prune at info phases: 2M candidate metrics with the exact
-  `log(1+e^∓LLR)` penalty; a Batcher odd-even sorting network over
-  (metric, creation-index) pairs reproduces the reference's stable sort
-  bit-for-bit; clone-by-gather is a binary select tree over the M source
+  `log(1+e^∓LLR)` penalty; a sorting network over (metric, creation-index)
+  pairs reproduces the reference's stable sort bit-for-bit — sublane-packed
+  bitonic on one [2M, BT] vreg block (compare-exchange via `pltpu.roll`)
+  for M≥4, per-row Batcher odd-even comparators for the tiny lists;
+  clone-by-gather is a binary select tree over the M source
   paths (M−1 vector selects per output, written straight back in place),
   restricted to the state rows still *live* at that fork (exact
   reverse-schedule liveness; small-level tails gather unconditionally to
@@ -169,6 +171,47 @@ def _softplus(x):
     return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
+def _bitonic_layers(R: int) -> List[Tuple[int, int]]:
+    """(k, j) layer list of the bitonic sorting network for R rows."""
+
+    layers: List[Tuple[int, int]] = []
+    k = 2
+    while k <= R:
+        j = k // 2
+        while j >= 1:
+            layers.append((k, j))
+            j //= 2
+        k *= 2
+    return layers
+
+
+def _packed_sort(pm, idx):
+    """Sublane-packed bitonic sort of [R, BT] (metric, index) rows.
+
+    Sorts ascending by the compound key (pm, idx); since creation indices
+    are distinct, this equals the reference's stable sort by metric.  Each
+    layer is a handful of full-[R, BT] vector ops (two sublane rolls per
+    operand + masked compare-exchange) instead of per-comparator work on
+    single-sublane rows — the whole 2M-candidate network runs on packed
+    vregs.
+    """
+
+    R = pm.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, pm.shape, 0)
+    for k, j in _bitonic_layers(R):
+        bitj = (row & j) != 0  # high position of the (i, i^j) pair
+        # keep_min = ascending XOR high-position; keys are unique so the
+        # compare-exchange is take-partner = (mine > partner) XOR keep_max
+        keep_max = ((row & k) == 0) == ((row & j) != 0)
+        ppm = jnp.where(bitj, pltpu.roll(pm, j, axis=0), pltpu.roll(pm, (R - j) % R, axis=0))
+        pidx = jnp.where(bitj, pltpu.roll(idx, j, axis=0), pltpu.roll(idx, (R - j) % R, axis=0))
+        g = (pm > ppm) | ((pm == ppm) & (idx > pidx))
+        take = g ^ keep_max
+        pm = jnp.where(take, ppm, pm)
+        idx = jnp.where(take, pidx, idx)
+    return pm, idx
+
+
 def _index_bits(idx, m: int):
     """LSB-first bit planes of a float index in [0, m): list of [1, BT] bools."""
 
@@ -221,6 +264,7 @@ def _kernel_body(
     curidx_ref,   # [M, BT] f32 backtrack cursor
     *,
     N: int, M: int, K: int, use_crc: bool, bit_dtype=jnp.float32,
+    packed_sort: bool = True,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -322,30 +366,47 @@ def _kernel_body(
             base = pm_ref[...]
             c0a = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, base + _softplus(-lf))
             c1a = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, base + _softplus(lf))
-            pmc = []
-            idxs = []
-            for p in range(M):
-                pmc += [c0a[p : p + 1, :], c1a[p : p + 1, :]]
-                idxs += [
-                    jnp.full((1, BT), float(2 * p), jnp.float32),
-                    jnp.full((1, BT), float(2 * p + 1), jnp.float32),
-                ]
-            # stable sort by (metric, creation index)
-            for ia, ib in sort_pairs_2m:
-                swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
-                pa, pb = pmc[ia], pmc[ib]
-                xa, xb = idxs[ia], idxs[ib]
-                pmc[ia] = jnp.where(swap, pb, pa)
-                pmc[ib] = jnp.where(swap, pa, pb)
-                idxs[ia] = jnp.where(swap, xb, xa)
-                idxs[ib] = jnp.where(swap, xa, xb)
+            if packed_sort:
+                # 2M candidates packed as [c0 rows | c1 rows]; the creation
+                # index rides as a value, so row position is free
+                pm2 = jnp.concatenate([c0a, c1a], axis=0)  # [2M, BT]
+                row2 = jax.lax.broadcasted_iota(jnp.int32, (2 * M, BT), 0)
+                idx2 = jnp.where(row2 < M, 2 * row2, 2 * (row2 - M) + 1).astype(
+                    jnp.float32
+                )
+                pm_s, idx_s = _packed_sort(pm2, idx2)
+                par_all = jnp.floor(idx_s[:M, :] * 0.5)  # [M, BT]
+                bit_all = idx_s[:M, :] - 2.0 * par_all
+                new_pm = pm_s[:M, :]
+                parents = [par_all[m : m + 1, :] for m in range(M)]
+            else:
+                pmc = []
+                idxs = []
+                for p in range(M):
+                    pmc += [c0a[p : p + 1, :], c1a[p : p + 1, :]]
+                    idxs += [
+                        jnp.full((1, BT), float(2 * p), jnp.float32),
+                        jnp.full((1, BT), float(2 * p + 1), jnp.float32),
+                    ]
+                # stable sort by (metric, creation index)
+                for ia, ib in sort_pairs_2m:
+                    swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
+                    pa, pb = pmc[ia], pmc[ib]
+                    xa, xb = idxs[ia], idxs[ib]
+                    pmc[ia] = jnp.where(swap, pb, pa)
+                    pmc[ib] = jnp.where(swap, pa, pb)
+                    idxs[ia] = jnp.where(swap, xb, xa)
+                    idxs[ib] = jnp.where(swap, xa, xb)
 
-            parents = []
-            bits = []
-            for m in range(M):
-                par = jnp.floor(idxs[m] * 0.5)
-                parents.append(par)
-                bits.append(idxs[m] - 2.0 * par)
+                parents = []
+                bits = []
+                for m in range(M):
+                    par = jnp.floor(idxs[m] * 0.5)
+                    parents.append(par)
+                    bits.append(idxs[m] - 2.0 * par)
+                par_all = jnp.concatenate(parents, axis=0)
+                bit_all = jnp.concatenate(bits, axis=0)
+                new_pm = jnp.concatenate(pmc[:M], axis=0)
 
             # Clone-by-gather, restricted to levels still live at this
             # fork (exact reverse-schedule liveness; dead rows are always
@@ -387,31 +448,39 @@ def _kernel_body(
             if tail <= n:
                 gather_rows(state_ref, off[tail], N - 1)
                 gather_rows(bstate_ref, off[tail], N - 1)
-            pm_ref[...] = jnp.concatenate(pmc[:M], axis=0)
+            pm_ref[...] = new_pm
 
             # traces (leaf is indexed by the *old* slot = parent)
-            tparent_ref[pl.ds(i, 1)] = jnp.concatenate(parents, axis=0)[None]
-            tbit_ref[pl.ds(i, 1)] = jnp.concatenate(bits, axis=0)[None]
+            tparent_ref[pl.ds(i, 1)] = par_all[None]
+            tbit_ref[pl.ds(i, 1)] = bit_all[None]
             tleaf_ref[pl.ds(i, 1)] = leaf[:, 0, :][None]
 
-            propagate(phase, jnp.stack(bits, axis=0).reshape(M, 1, BT))
+            propagate(phase, bit_all.reshape(M, 1, BT))
 
     jax.lax.fori_loop(0, N, phase_body, None)
 
     # --- final stable sort of the list by metric ----------------------
-    fpm = [pm_ref[m : m + 1, :] for m in range(M)]
-    fidx = [jnp.full((1, BT), float(m), jnp.float32) for m in range(M)]
-    for ia, ib in sort_pairs_m:
-        swap = (fpm[ia] > fpm[ib]) | ((fpm[ia] == fpm[ib]) & (fidx[ia] > fidx[ib]))
-        pa, pb = fpm[ia], fpm[ib]
-        xa, xb = fidx[ia], fidx[ib]
-        fpm[ia] = jnp.where(swap, pb, pa)
-        fpm[ib] = jnp.where(swap, pa, pb)
-        fidx[ia] = jnp.where(swap, xb, xa)
-        fidx[ib] = jnp.where(swap, xa, xb)
+    if packed_sort:
+        fpm_a = pm_ref[...]
+        fidx_a = jax.lax.broadcasted_iota(jnp.int32, (M, BT), 0).astype(jnp.float32)
+        if M > 1:
+            fpm_a, fidx_a = _packed_sort(fpm_a, fidx_a)
+        fpm = [fpm_a[m : m + 1, :] for m in range(M)]
+        curidx_ref[...] = fidx_a
+    else:
+        fpm = [pm_ref[m : m + 1, :] for m in range(M)]
+        fidx = [jnp.full((1, BT), float(m), jnp.float32) for m in range(M)]
+        for ia, ib in sort_pairs_m:
+            swap = (fpm[ia] > fpm[ib]) | ((fpm[ia] == fpm[ib]) & (fidx[ia] > fidx[ib]))
+            pa, pb = fpm[ia], fpm[ib]
+            xa, xb = fidx[ia], fidx[ib]
+            fpm[ia] = jnp.where(swap, pb, pa)
+            fpm[ib] = jnp.where(swap, pa, pb)
+            fidx[ia] = jnp.where(swap, xb, xa)
+            fidx[ib] = jnp.where(swap, xa, xb)
+        curidx_ref[...] = jnp.concatenate(fidx, axis=0)
 
     # --- backtrack all M candidates through the traces ----------------
-    curidx_ref[...] = jnp.concatenate(fidx, axis=0)
 
     def bt_body(t, _):
         i = K - 1 - t
@@ -462,7 +531,7 @@ def _kernel_body(
 @functools.lru_cache(maxsize=32)
 def _build_kernel_for(
     info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int,
-    interpret: bool, bit_dtype_name: str = "float32",
+    interpret: bool, bit_dtype_name: str = "float32", packed_sort: bool = True,
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
@@ -472,7 +541,8 @@ def _build_kernel_for(
     bit_dtype = jnp.dtype(bit_dtype_name)
 
     kernel = functools.partial(
-        _kernel_body, N=N, M=M, K=K, use_crc=crc is not None, bit_dtype=bit_dtype
+        _kernel_body, N=N, M=M, K=K, use_crc=crc is not None, bit_dtype=bit_dtype,
+        packed_sort=packed_sort,
     )
 
     hc_arr = (
@@ -549,6 +619,7 @@ def decode_scl_pallas(
     block_batch: Optional[int] = None,
     interpret: bool = False,
     bit_dtype=jnp.float32,
+    packed_sort: Optional[bool] = None,
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
 
@@ -569,12 +640,16 @@ def decode_scl_pallas(
     K = int(info_np.size)
     if block_batch is None:
         block_batch = _default_block(M, B)
+    if packed_sort is None:
+        # measured: sublane-packed bitonic wins ~1-1.5% at M>=4 (16/8-row
+        # networks); at M=1 the 2-row rolls cost more than row comparators
+        packed_sort = M >= 4
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
 
     run = _build_kernel_for(
         tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret,
-        jnp.dtype(bit_dtype).name,
+        jnp.dtype(bit_dtype).name, packed_sort,
     )
     llr_t = llr.T.astype(jnp.float32)  # [N, B]
     if force_info_bits is None:

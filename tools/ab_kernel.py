@@ -1,0 +1,68 @@
+"""Interleaved A/B timing of SCL-kernel variants on the TPU.
+
+The tunnel's timing noise is ±10-20%, so variants are timed in interleaved
+rounds and the per-variant MIN over rounds is reported (min-of-many is the
+noise-robust statistic for a deterministic workload).
+
+    python tools/ab_kernel.py --M 8 --variants packed,batcher
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--M", type=int, nargs="+", default=[8, 4, 2, 1])
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from polar_code_tpu import config
+    from polar_code_tpu.ops.scl_pallas import decode_scl_pallas
+    from polar_code_tpu.polar.construct import construct_info_set
+
+    cfg = config.DEFAULTS
+    info_set = construct_info_set(cfg.N, cfg.K)
+    rng = np.random.default_rng(0)
+    B = args.batch
+    llr = jnp.asarray(rng.normal(0, 5, size=(B, cfg.N)), jnp.float32)
+
+    for M in args.M:
+        fns = {}
+        for name, packed in (("packed", True), ("batcher", False)):
+            fn = jax.jit(
+                lambda x, M=M, packed=packed: decode_scl_pallas(
+                    x, info_set, M, cfg.crc_poly, packed_sort=packed
+                )["crc_pass"]
+            )
+            jax.device_get(fn(llr))  # compile + warm
+            fns[name] = fn
+        best = {k: float("inf") for k in fns}
+        for _ in range(args.rounds):
+            for name, fn in fns.items():
+                t0 = time.perf_counter()
+                outs = [fn(llr) for _ in range(args.iters)]
+                jax.device_get(outs)
+                best[name] = min(best[name], (time.perf_counter() - t0) / args.iters)
+        line = f"M={M}: " + "  ".join(
+            f"{k}={v*1e3:.2f}ms ({B/v:,.0f} fps)" for k, v in best.items()
+        )
+        if len(best) == 2:
+            a, b = list(best.values())
+            line += f"  ratio={b/a:.3f}"
+        print(line)
+
+
+if __name__ == "__main__":
+    main()
