@@ -264,7 +264,7 @@ def _kernel_body(
     curidx_ref,   # [M, BT] f32 backtrack cursor
     *,
     N: int, M: int, K: int, use_crc: bool, bit_dtype=jnp.float32,
-    packed_sort: bool = True,
+    packed_sort: bool = True, pair_unroll: bool = True,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -288,16 +288,18 @@ def _kernel_body(
     sort_pairs_2m = _batcher_pairs(2 * M)
     sort_pairs_m = _batcher_pairs(M) if M > 1 else []
 
-    def propagate(phase, cur0):
+    def propagate(phase, cur0, smax=None):
         """Partial-sum combine chain, specialized per store level.
 
         Exactly one store level is scheduled per phase (none on the last
         phase), so only one branch executes; its chain length matches the
         trailing-ones run of the phase index — average cost O(1) rows
-        instead of the full N−1-row unconditional chain.
+        instead of the full N−1-row unconditional chain.  Odd phases never
+        store at level n (their leaf node index is odd), so the pair-
+        unrolled path passes smax=n−1 to skip that guard.
         """
 
-        for s in range(n, 0, -1):
+        for s in range((n if smax is None else smax), 0, -1):
             @pl.when(store_ref[phase, s] == 1)
             def _(s=s):
                 cur = cur0.astype(bit_dtype)  # 0/1 values: exact in bf16
@@ -326,10 +328,12 @@ def _kernel_body(
         c = bstate_ref[:, brows(level), :].astype(jnp.float32)
         state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
 
-    def phase_body(phase, _):
-        # 1. LLR updates, specialized by the phase's g-level: one g at that
+    def llr_update_branchy(phase, gmax):
+        # LLR updates, specialized by the phase's g-level: one g at that
         # level followed by an f-descent to the leaf.  Exactly one branch
-        # executes; phase 0 (sentinel 0) is the pure f-descent.
+        # executes; phase 0 (sentinel 0) is the pure f-descent.  Even
+        # phases never have their g at the leaf level, so the pair-unrolled
+        # path passes gmax=n−1 to drop that guard.
         gl = glevel_ref[phase]
 
         @pl.when(gl == 0)
@@ -337,13 +341,18 @@ def _kernel_body(
             for level in range(1, n + 1):
                 _apply_f(level)
 
-        for g_level in range(1, n + 1):
+        for g_level in range(1, gmax + 1):
             @pl.when(gl == g_level)
             def _(g_level=g_level):
                 _apply_g(g_level)
                 for level in range(g_level + 1, n + 1):
                     _apply_f(level)
 
+    def leaf_step(phase, store_fn):
+        # Leaf decision at `phase`: frozen extend-0 or info fork/prune.
+        # `store_fn(bits)` commits the decided bits to the partial-sum
+        # state (direct level-n store on even phases, combine chain on
+        # odd ones).
         leaf = state_ref[:, off[n] : off[n] + 1, :]  # [M, 1, BT]
         fz = frozen_ref[phase]
 
@@ -352,7 +361,7 @@ def _kernel_body(
         def _():
             pen = _softplus(-leaf[:, 0, :])  # [M, BT]
             pm_ref[...] = pm_ref[...] + pen
-            propagate(phase, jnp.zeros((M, 1, BT), jnp.float32))
+            store_fn(jnp.zeros((M, 1, BT), jnp.float32))
 
         # 2b. info: fork, stable top-M, clone-by-gather, record traces
         @pl.when(fz == 0)
@@ -455,9 +464,32 @@ def _kernel_body(
             tbit_ref[pl.ds(i, 1)] = bit_all[None]
             tleaf_ref[pl.ds(i, 1)] = leaf[:, 0, :][None]
 
-            propagate(phase, bit_all.reshape(M, 1, BT))
+            store_fn(bit_all.reshape(M, 1, BT))
 
-    jax.lax.fori_loop(0, N, phase_body, None)
+    if pair_unroll:
+        # Two phases per iteration, exploiting the even/odd structure of
+        # the schedule: every even phase stores its partial sums directly
+        # at the leaf level (no combine chain, no store branch), and every
+        # odd phase's LLR update is exactly one g at the leaf level (no
+        # g-level branch).  Halves loop iterations and branch dispatches.
+        def store_even(cur0):
+            bstate_ref[:, brows(n), :] = cur0.astype(bit_dtype)
+
+        def pair_body(t, _):
+            p0 = 2 * t
+            p1 = p0 + 1
+            llr_update_branchy(p0, n - 1)
+            leaf_step(p0, store_even)
+            _apply_g(n)
+            leaf_step(p1, lambda cur0: propagate(p1, cur0, smax=n - 1))
+
+        jax.lax.fori_loop(0, N // 2, pair_body, None)
+    else:
+        def phase_body(phase, _):
+            llr_update_branchy(phase, n)
+            leaf_step(phase, lambda cur0: propagate(phase, cur0))
+
+        jax.lax.fori_loop(0, N, phase_body, None)
 
     # --- final stable sort of the list by metric ----------------------
     if packed_sort:
@@ -532,6 +564,7 @@ def _kernel_body(
 def _build_kernel_for(
     info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int,
     interpret: bool, bit_dtype_name: str = "float32", packed_sort: bool = True,
+    pair_unroll: bool = True,
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
@@ -542,7 +575,7 @@ def _build_kernel_for(
 
     kernel = functools.partial(
         _kernel_body, N=N, M=M, K=K, use_crc=crc is not None, bit_dtype=bit_dtype,
-        packed_sort=packed_sort,
+        packed_sort=packed_sort, pair_unroll=pair_unroll,
     )
 
     hc_arr = (
@@ -620,6 +653,7 @@ def decode_scl_pallas(
     interpret: bool = False,
     bit_dtype=jnp.float32,
     packed_sort: Optional[bool] = None,
+    pair_unroll: bool = True,
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
 
@@ -649,7 +683,7 @@ def decode_scl_pallas(
 
     run = _build_kernel_for(
         tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret,
-        jnp.dtype(bit_dtype).name, packed_sort,
+        jnp.dtype(bit_dtype).name, packed_sort, pair_unroll,
     )
     llr_t = llr.T.astype(jnp.float32)  # [N, B]
     if force_info_bits is None:

@@ -38,12 +38,16 @@ def main() -> None:
     B = args.batch
     llr = jnp.asarray(rng.normal(0, 5, size=(B, cfg.N)), jnp.float32)
 
+    variants = {
+        "pair": dict(pair_unroll=True),
+        "nopair": dict(pair_unroll=False),
+    }
     for M in args.M:
         fns = {}
-        for name, packed in (("packed", True), ("batcher", False)):
+        for name, kw in variants.items():
             fn = jax.jit(
-                lambda x, M=M, packed=packed: decode_scl_pallas(
-                    x, info_set, M, cfg.crc_poly, packed_sort=packed
+                lambda x, M=M, kw=kw: decode_scl_pallas(
+                    x, info_set, M, cfg.crc_poly, **kw
                 )["crc_pass"]
             )
             jax.device_get(fn(llr))  # compile + warm
