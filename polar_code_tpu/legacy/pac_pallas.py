@@ -34,7 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.crc import check_matrix
-from ..ops.scl_pallas import _batcher_pairs, _index_bits, _schedule_tables, _select_m
+from ..ops.scl_pallas import (
+    _batcher_pairs,
+    _index_bits,
+    _packed_sort,
+    _schedule_tables,
+    _select_m,
+)
 from .rate_profile import bitreversed
 
 _BIG = 3.0e38
@@ -58,6 +64,7 @@ def _kernel_body(
     curidx_ref,              # [L, BT] f32
     *,
     N: int, L: int, Kp: int, mem: int, taps: Tuple[int, ...], use_crc: bool,
+    packed_sort: bool = False, pair_unroll: bool = True,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -123,8 +130,8 @@ def _kernel_body(
         c = state_ref[:, brows(level), :]
         state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
 
-    def propagate(phase, cur0):
-        for s in range(n, 0, -1):
+    def propagate(phase, cur0, smax=None):
+        for s in range((n if smax is None else smax), 0, -1):
             @pl.when(store_ref[phase, s] == 1)
             def _(s=s):
                 cur = cur0
@@ -134,7 +141,7 @@ def _kernel_body(
                     cur = jnp.concatenate([xor, cur], axis=1)
                 state_ref[:, brows(s), :] = cur
 
-    def phase_body(phase, _):
+    def llr_update_branchy(phase, gmax):
         gl = glevel_ref[phase]
 
         @pl.when(gl == 0)
@@ -142,13 +149,14 @@ def _kernel_body(
             for level in range(1, n + 1):
                 _apply_f(level)
 
-        for g_level in range(1, n + 1):
+        for g_level in range(1, gmax + 1):
             @pl.when(gl == g_level)
             def _(g_level=g_level):
                 _apply_g(g_level)
                 for level in range(g_level + 1, n + 1):
                     _apply_f(level)
 
+    def leaf_step(phase, store_fn):
         leaf = state_ref[:, off[n] : off[n] + 1, :][:, 0, :]  # [L, BT]
         hard = jnp.where(leaf < 0.0, 1.0, 0.0)
         base = conv_base()
@@ -159,31 +167,47 @@ def _kernel_body(
             pen = jnp.where(base != hard, jnp.abs(leaf), 0.0)
             pm_ref[...] = pm_ref[...] + pen
             conv_shift(jnp.zeros((L, BT), jnp.float32))
-            propagate(phase, base[:, None, :])
+            store_fn(base[:, None, :])
 
         @pl.when(fz == 0)
         def _():
             i = infoidx_ref[phase]
             v_good = base + hard - 2.0 * base * hard  # XOR
             pen = jnp.abs(leaf)
-            pmc = [pm_ref[p : p + 1, :] for p in range(L)]
-            pmc += [pm_ref[p : p + 1, :] + pen[p : p + 1, :] for p in range(L)]
-            idxs = [jnp.full((1, BT), float(c), jnp.float32) for c in range(2 * L)]
-            for ia, ib in sort_pairs_2l:
-                swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
-                pa, pb = pmc[ia], pmc[ib]
-                xa, xb = idxs[ia], idxs[ib]
-                pmc[ia] = jnp.where(swap, pb, pa)
-                pmc[ib] = jnp.where(swap, pa, pb)
-                idxs[ia] = jnp.where(swap, xb, xa)
-                idxs[ib] = jnp.where(swap, xa, xb)
+            if packed_sort:
+                # candidates [good×L | bad×L]; creation index == row, so the
+                # packed rows need no reordering
+                pm2 = jnp.concatenate([pm_ref[...], pm_ref[...] + pen], axis=0)
+                idx2 = jax.lax.broadcasted_iota(jnp.int32, (2 * L, BT), 0).astype(
+                    jnp.float32
+                )
+                pm_s, idx_s = _packed_sort(pm2, idx2)
+                idx_top = idx_s[:L, :]
+                bad_a = jnp.where(idx_top >= float(L), 1.0, 0.0)
+                par_a = idx_top - float(L) * bad_a
+                parents = [par_a[m : m + 1, :] for m in range(L)]
+                badflags = [bad_a[m : m + 1, :] for m in range(L)]
+                new_pm = pm_s[:L, :]
+            else:
+                pmc = [pm_ref[p : p + 1, :] for p in range(L)]
+                pmc += [pm_ref[p : p + 1, :] + pen[p : p + 1, :] for p in range(L)]
+                idxs = [jnp.full((1, BT), float(c), jnp.float32) for c in range(2 * L)]
+                for ia, ib in sort_pairs_2l:
+                    swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
+                    pa, pb = pmc[ia], pmc[ib]
+                    xa, xb = idxs[ia], idxs[ib]
+                    pmc[ia] = jnp.where(swap, pb, pa)
+                    pmc[ib] = jnp.where(swap, pa, pb)
+                    idxs[ia] = jnp.where(swap, xb, xa)
+                    idxs[ib] = jnp.where(swap, xa, xb)
 
-            parents = []
-            badflags = []
-            for m in range(L):
-                is_bad = jnp.where(idxs[m] >= float(L), 1.0, 0.0)
-                parents.append(idxs[m] - float(L) * is_bad)
-                badflags.append(is_bad)
+                parents = []
+                badflags = []
+                for m in range(L):
+                    is_bad = jnp.where(idxs[m] >= float(L), 1.0, 0.0)
+                    parents.append(idxs[m] - float(L) * is_bad)
+                    badflags.append(is_bad)
+                new_pm = jnp.concatenate(pmc[:L], axis=0)
 
             # Binary select tree per output path (see ops/scl_pallas.py):
             # L−1 full-width selects instead of L selects + L adds, written
@@ -226,7 +250,7 @@ def _kernel_body(
             if L > 1:
                 outs = tree_gather([conv_ref[p] for p in range(L)])
                 conv_ref[...] = jnp.stack(outs, axis=0)
-            pm_ref[...] = jnp.concatenate(pmc[:L], axis=0)
+            pm_ref[...] = new_pm
 
             vg_rows = []
             base_rows = []
@@ -244,23 +268,52 @@ def _kernel_body(
             tbit_ref[pl.ds(i, 1)] = jnp.concatenate(v_bits, axis=0)[None]
 
             conv_shift(jnp.concatenate(v_bits, axis=0))
-            propagate(phase, jnp.concatenate(edges, axis=0)[:, None, :])
+            store_fn(jnp.concatenate(edges, axis=0)[:, None, :])
 
-    jax.lax.fori_loop(0, N, phase_body, None)
+    if pair_unroll:
+        # (even, odd) phases per iteration — see ops/scl_pallas.py: even
+        # phases store partial sums directly at the leaf level, odd phases'
+        # LLR update is an unconditional g at the leaf.
+        def store_even(cur0):
+            state_ref[:, brows(n), :] = cur0
+
+        def pair_body(t, _):
+            p0 = 2 * t
+            p1 = p0 + 1
+            llr_update_branchy(p0, n - 1)
+            leaf_step(p0, store_even)
+            _apply_g(n)
+            leaf_step(p1, lambda cur0: propagate(p1, cur0, smax=n - 1))
+
+        jax.lax.fori_loop(0, N // 2, pair_body, None)
+    else:
+        def phase_body(phase, _):
+            llr_update_branchy(phase, n)
+            leaf_step(phase, lambda cur0: propagate(phase, cur0))
+
+        jax.lax.fori_loop(0, N, phase_body, None)
 
     # final stable sort, backtrack, CRC selection
-    fpm = [pm_ref[m : m + 1, :] for m in range(L)]
-    fidx = [jnp.full((1, BT), float(m), jnp.float32) for m in range(L)]
-    for ia, ib in sort_pairs_l:
-        swap = (fpm[ia] > fpm[ib]) | ((fpm[ia] == fpm[ib]) & (fidx[ia] > fidx[ib]))
-        pa, pb = fpm[ia], fpm[ib]
-        xa, xb = fidx[ia], fidx[ib]
-        fpm[ia] = jnp.where(swap, pb, pa)
-        fpm[ib] = jnp.where(swap, pa, pb)
-        fidx[ia] = jnp.where(swap, xb, xa)
-        fidx[ib] = jnp.where(swap, xa, xb)
+    if packed_sort:
+        fpm_a = pm_ref[...]
+        fidx_a = jax.lax.broadcasted_iota(jnp.int32, (L, BT), 0).astype(jnp.float32)
+        if L > 1:
+            fpm_a, fidx_a = _packed_sort(fpm_a, fidx_a)
+        fpm = [fpm_a[m : m + 1, :] for m in range(L)]
+        curidx_ref[...] = fidx_a
+    else:
+        fpm = [pm_ref[m : m + 1, :] for m in range(L)]
+        fidx = [jnp.full((1, BT), float(m), jnp.float32) for m in range(L)]
+        for ia, ib in sort_pairs_l:
+            swap = (fpm[ia] > fpm[ib]) | ((fpm[ia] == fpm[ib]) & (fidx[ia] > fidx[ib]))
+            pa, pb = fpm[ia], fpm[ib]
+            xa, xb = fidx[ia], fidx[ib]
+            fpm[ia] = jnp.where(swap, pb, pa)
+            fpm[ib] = jnp.where(swap, pa, pb)
+            fidx[ia] = jnp.where(swap, xb, xa)
+            fidx[ib] = jnp.where(swap, xa, xb)
 
-    curidx_ref[...] = jnp.concatenate(fidx, axis=0)
+        curidx_ref[...] = jnp.concatenate(fidx, axis=0)
 
     def bt_body(t, _):
         i = Kp - 1 - t
@@ -298,7 +351,8 @@ def _kernel_body(
 
 
 @functools.lru_cache(maxsize=16)
-def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, interpret: bool):
+def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, interpret: bool,
+           packed_sort: bool = False, pair_unroll: bool = True):
     mask = np.asarray(mask_key, dtype=np.int64)
     gen = list(gen_key)
     mem = len(gen) - 1
@@ -328,6 +382,7 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
     kernel = functools.partial(
         _kernel_body, N=N, L=L, Kp=Kp, mem=mem,
         taps=tuple(gen[1:]), use_crc=crc_len > 0,
+        packed_sort=packed_sort, pair_unroll=pair_unroll,
     )
     n_state = 2 * (N - 1)
 
@@ -382,6 +437,8 @@ def pac_list_decode_pallas(
     crc_poly: int = 0,
     block_batch: int = 128,
     interpret: bool = False,
+    packed_sort: Optional[bool] = None,
+    pair_unroll: bool = True,
 ) -> dict:
     """Fused-kernel PAC list decode.  llr: [B, N].
 
@@ -398,9 +455,11 @@ def pac_list_decode_pallas(
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
     mask = np.asarray(mask)
+    if packed_sort is None:
+        packed_sort = L >= 4  # same measured threshold as the SCL kernel
     run = _build(
         tuple(int(x) for x in mask), tuple(gen), L, crc_len, crc_poly,
-        block_batch, interpret,
+        block_batch, interpret, packed_sort, pair_unroll,
     )
     n = int(math.log2(mask.size))
     perm = np.array([bitreversed(j, n) for j in range(mask.size)])
