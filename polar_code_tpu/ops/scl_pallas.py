@@ -424,39 +424,47 @@ def _kernel_body(
             # planes of its parent index — M−1 full-width selects per
             # output instead of the masked-sum's M selects + M adds, and
             # the stacked result writes straight back (no double buffer).
-            parent_bits = [_index_bits(parents[m], M) for m in range(M)]
+            def do_gathers():
+                parent_bits = [_index_bits(parents[m], M) for m in range(M)]
 
-            def gather_rows(src, r0, r1):
-                if M == 1:
-                    return  # single path: parent is always slot 0
-                srcs = [src[p, r0:r1, :] for p in range(M)]
-                outs = []
-                for m in range(M):
-                    vals = srcs
-                    for cond in parent_bits[m]:
-                        vals = [
-                            jnp.where(cond, vals[2 * j + 1], vals[2 * j])
-                            for j in range(len(vals) // 2)
-                        ]
-                    outs.append(vals[0])
-                src[:, r0:r1, :] = jnp.stack(outs, axis=0)
+                def gather_rows(src, r0, r1):
+                    srcs = [src[p, r0:r1, :] for p in range(M)]
+                    outs = []
+                    for m in range(M):
+                        vals = srcs
+                        for cond in parent_bits[m]:
+                            vals = [
+                                jnp.where(cond, vals[2 * j + 1], vals[2 * j])
+                                for j in range(len(vals) // 2)
+                            ]
+                        outs.append(vals[0])
+                    src[:, r0:r1, :] = jnp.stack(outs, axis=0)
 
-            # Large levels gather conditionally (liveness saves real work);
-            # small-level tails gather unconditionally in one contiguous
-            # block each (branch overhead would exceed the savings).
-            cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
-            for level in cond_levels:
-                @pl.when(llrlive_ref[phase, level] == 1)
-                def _(level=level):
-                    gather_rows(state_ref, off[level], off[level] + (N >> level))
+                # Large levels gather conditionally (liveness saves real
+                # work); small-level tails gather unconditionally in one
+                # contiguous block each (branch overhead would exceed the
+                # savings).
+                cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
+                for level in cond_levels:
+                    @pl.when(llrlive_ref[phase, level] == 1)
+                    def _(level=level):
+                        gather_rows(state_ref, off[level], off[level] + (N >> level))
 
-                @pl.when(bitlive_ref[phase, level] == 1)
-                def _(level=level):
-                    gather_rows(bstate_ref, off[level], off[level] + (N >> level))
-            tail = cond_levels[-1] + 1 if cond_levels else 1
-            if tail <= n:
-                gather_rows(state_ref, off[tail], N - 1)
-                gather_rows(bstate_ref, off[tail], N - 1)
+                    @pl.when(bitlive_ref[phase, level] == 1)
+                    def _(level=level):
+                        gather_rows(bstate_ref, off[level], off[level] + (N >> level))
+                tail = cond_levels[-1] + 1 if cond_levels else 1
+                if tail <= n:
+                    gather_rows(state_ref, off[tail], N - 1)
+                    gather_rows(bstate_ref, off[tail], N - 1)
+
+            # NB (measured negative result): ~1/3 of (fork, tile) pairs at
+            # 5 dB have the identity parent permutation, but guarding the
+            # clone behind a `max(|par-iota|)>0` scalar branch is a net
+            # 2.5-5% LOSS — the per-fork vector→scalar sync stalls the
+            # pipeline for more than the skipped gathers save.
+            if M > 1:
+                do_gathers()
             pm_ref[...] = new_pm
 
             # traces (leaf is indexed by the *old* slot = parent)

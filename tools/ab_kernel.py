@@ -23,20 +23,31 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--snr_db", type=float, default=5.0)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from polar_code_tpu import config
+    from polar_code_tpu.channel import awgn_llr, bpsk, noise_var_coded
+    from polar_code_tpu.ops.crc import attach_crc_batch
+    from polar_code_tpu.ops.polar_transform import encode_batch
     from polar_code_tpu.ops.scl_pallas import decode_scl_pallas
     from polar_code_tpu.polar.construct import construct_info_set
 
     cfg = config.DEFAULTS
     info_set = construct_info_set(cfg.N, cfg.K)
-    rng = np.random.default_rng(0)
     B = args.batch
-    llr = jnp.asarray(rng.normal(0, 5, size=(B, cfg.N)), jnp.float32)
+    # realistic operating-point LLRs (decode work is data-dependent: the
+    # identity-permutation skip rate depends on channel conditions)
+    kp, kn = jax.random.split(jax.random.key(0))
+    payload = jax.random.bernoulli(kp, 0.5, (B, cfg.K - cfg.crc_bits)).astype(jnp.int8)
+    msg = attach_crc_batch(payload, cfg.crc_poly)
+    code = encode_batch(msg, info_set, cfg.N)
+    llr = awgn_llr(kn, bpsk(code), noise_var_coded(args.snr_db, cfg.K, cfg.N))
+    llr = jax.device_get(llr)
+    llr = jnp.asarray(llr, jnp.float32)
 
     variants = {
         "pair": dict(pair_unroll=True),
