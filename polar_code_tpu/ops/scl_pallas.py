@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -59,6 +60,14 @@ from ..polar.construct import frozen_mask as _frozen_mask
 from .crc import check_matrix
 
 _BIG = 3.0e38  # +inf stand-in that survives f32 arithmetic
+
+# Attribution probe (dev tool): comma-separated stage names to no-op, e.g.
+# SCL_KERNEL_ABLATE=clone,sort python tools/ab_kernel.py ...
+# Ablated kernels produce WRONG results — timing deltas only.  Read at
+# import; the kernel cache is keyed by build args, so set before first use.
+_ABLATE = frozenset(
+    s for s in os.environ.get("SCL_KERNEL_ABLATE", "").split(",") if s
+)
 
 
 def _batcher_pairs(n: int) -> List[Tuple[int, int]]:
@@ -168,6 +177,8 @@ def _schedule_tables(N: int, info_np: np.ndarray):
 
 def _softplus(x):
     # log(1 + e^x) == np.logaddexp(0, x), stable for large |x|
+    if "metric" in _ABLATE:
+        return jnp.abs(x)  # ablation stand-in: one cheap op, wrong values
     return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
@@ -264,7 +275,7 @@ def _kernel_body(
     curidx_ref,   # [M, BT] f32 backtrack cursor
     *,
     N: int, M: int, K: int, use_crc: bool, bit_dtype=jnp.float32,
-    packed_sort: bool = True, pair_unroll: bool = True,
+    packed_sort: bool = True, pair_unroll: bool = True, static_tables=None,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -299,6 +310,8 @@ def _kernel_body(
         unrolled path passes smax=n−1 to skip that guard.
         """
 
+        if "propagate" in _ABLATE:
+            return
         for s in range((n if smax is None else smax), 0, -1):
             @pl.when(store_ref[phase, s] == 1)
             def _(s=s):
@@ -317,6 +330,8 @@ def _kernel_body(
         return parent[:, :half, :], parent[:, half:, :]
 
     def _apply_f(level):
+        if "fg" in _ABLATE:
+            return
         a, b = _parent_halves(level)
         f = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
         if f.ndim == 2:
@@ -324,6 +339,8 @@ def _kernel_body(
         state_ref[:, lrows(level), :] = f
 
     def _apply_g(level):
+        if "fg" in _ABLATE:
+            return
         a, b = _parent_halves(level)
         c = bstate_ref[:, brows(level), :].astype(jnp.float32)
         state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
@@ -348,141 +365,210 @@ def _kernel_body(
                 for level in range(g_level + 1, n + 1):
                     _apply_f(level)
 
-    def leaf_step(phase, store_fn):
-        # Leaf decision at `phase`: frozen extend-0 or info fork/prune.
-        # `store_fn(bits)` commits the decided bits to the partial-sum
-        # state (direct level-n store on even phases, combine chain on
-        # odd ones).
-        leaf = state_ref[:, off[n] : off[n] + 1, :]  # [M, 1, BT]
-        fz = frozen_ref[phase]
+    def frozen_leaf(leaf, store_fn):
+        # frozen: extend every path with 0
+        pen = _softplus(-leaf[:, 0, :])  # [M, BT]
+        pm_ref[...] = pm_ref[...] + pen
+        store_fn(jnp.zeros((M, 1, BT), jnp.float32))
 
-        # 2a. frozen: extend every path with 0
-        @pl.when(fz == 1)
-        def _():
-            pen = _softplus(-leaf[:, 0, :])  # [M, BT]
-            pm_ref[...] = pm_ref[...] + pen
+    def info_leaf(phase, i, leaf, store_fn, live_static=None):
+        # info: fork, stable top-M, clone-by-gather, record traces.
+        # `i` is the info index (tracer from SMEM, or Python int when the
+        # phase loop is fully unrolled); `live_static`, when given, is the
+        # statically-merged (llr_spans, bit_spans) row ranges to gather —
+        # otherwise liveness is dispatched from the prefetched tables.
+        if "fork" in _ABLATE:
             store_fn(jnp.zeros((M, 1, BT), jnp.float32))
+            return
+        fb = forced_ref[pl.ds(i, 1), :].astype(jnp.float32)  # [1, BT]
+        # Candidate metrics computed on full [M, BT] vregs (the forced
+        # mask broadcasts), then sliced into the sort network's rows —
+        # one softplus chain instead of M single-sublane ones.
+        lf = leaf[:, 0, :]  # [M, BT]
+        base = pm_ref[...]
+        c0a = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, base + _softplus(-lf))
+        c1a = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, base + _softplus(lf))
+        if packed_sort:
+            # 2M candidates packed as [c0 rows | c1 rows]; the creation
+            # index rides as a value, so row position is free
+            pm2 = jnp.concatenate([c0a, c1a], axis=0)  # [2M, BT]
+            row2 = jax.lax.broadcasted_iota(jnp.int32, (2 * M, BT), 0)
+            idx2 = jnp.where(row2 < M, 2 * row2, 2 * (row2 - M) + 1).astype(
+                jnp.float32
+            )
+            pm_s, idx_s = (
+                (pm2, idx2) if "sort" in _ABLATE else _packed_sort(pm2, idx2)
+            )
+            par_all = jnp.floor(idx_s[:M, :] * 0.5)  # [M, BT]
+            bit_all = idx_s[:M, :] - 2.0 * par_all
+            new_pm = pm_s[:M, :]
+            parents = [par_all[m : m + 1, :] for m in range(M)]
+        else:
+            pmc = []
+            idxs = []
+            for p in range(M):
+                pmc += [c0a[p : p + 1, :], c1a[p : p + 1, :]]
+                idxs += [
+                    jnp.full((1, BT), float(2 * p), jnp.float32),
+                    jnp.full((1, BT), float(2 * p + 1), jnp.float32),
+                ]
+            # stable sort by (metric, creation index)
+            for ia, ib in sort_pairs_2m:
+                swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
+                pa, pb = pmc[ia], pmc[ib]
+                xa, xb = idxs[ia], idxs[ib]
+                pmc[ia] = jnp.where(swap, pb, pa)
+                pmc[ib] = jnp.where(swap, pa, pb)
+                idxs[ia] = jnp.where(swap, xb, xa)
+                idxs[ib] = jnp.where(swap, xa, xb)
 
-        # 2b. info: fork, stable top-M, clone-by-gather, record traces
-        @pl.when(fz == 0)
-        def _():
-            i = infoidx_ref[phase]
-            fb = forced_ref[pl.ds(i, 1), :].astype(jnp.float32)  # [1, BT]
-            # Candidate metrics computed on full [M, BT] vregs (the forced
-            # mask broadcasts), then sliced into the sort network's rows —
-            # one softplus chain instead of M single-sublane ones.
-            lf = leaf[:, 0, :]  # [M, BT]
-            base = pm_ref[...]
-            c0a = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, base + _softplus(-lf))
-            c1a = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, base + _softplus(lf))
-            if packed_sort:
-                # 2M candidates packed as [c0 rows | c1 rows]; the creation
-                # index rides as a value, so row position is free
-                pm2 = jnp.concatenate([c0a, c1a], axis=0)  # [2M, BT]
-                row2 = jax.lax.broadcasted_iota(jnp.int32, (2 * M, BT), 0)
-                idx2 = jnp.where(row2 < M, 2 * row2, 2 * (row2 - M) + 1).astype(
-                    jnp.float32
-                )
-                pm_s, idx_s = _packed_sort(pm2, idx2)
-                par_all = jnp.floor(idx_s[:M, :] * 0.5)  # [M, BT]
-                bit_all = idx_s[:M, :] - 2.0 * par_all
-                new_pm = pm_s[:M, :]
-                parents = [par_all[m : m + 1, :] for m in range(M)]
-            else:
-                pmc = []
-                idxs = []
-                for p in range(M):
-                    pmc += [c0a[p : p + 1, :], c1a[p : p + 1, :]]
-                    idxs += [
-                        jnp.full((1, BT), float(2 * p), jnp.float32),
-                        jnp.full((1, BT), float(2 * p + 1), jnp.float32),
-                    ]
-                # stable sort by (metric, creation index)
-                for ia, ib in sort_pairs_2m:
-                    swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
-                    pa, pb = pmc[ia], pmc[ib]
-                    xa, xb = idxs[ia], idxs[ib]
-                    pmc[ia] = jnp.where(swap, pb, pa)
-                    pmc[ib] = jnp.where(swap, pa, pb)
-                    idxs[ia] = jnp.where(swap, xb, xa)
-                    idxs[ib] = jnp.where(swap, xa, xb)
+            parents = []
+            bits = []
+            for m in range(M):
+                par = jnp.floor(idxs[m] * 0.5)
+                parents.append(par)
+                bits.append(idxs[m] - 2.0 * par)
+            par_all = jnp.concatenate(parents, axis=0)
+            bit_all = jnp.concatenate(bits, axis=0)
+            new_pm = jnp.concatenate(pmc[:M], axis=0)
 
-                parents = []
-                bits = []
+        # Clone-by-gather, restricted to levels still live at this
+        # fork (exact reverse-schedule liveness; dead rows are always
+        # rewritten before their next read).  Each output path is a
+        # binary select tree over the M source paths keyed by the bit
+        # planes of its parent index — M−1 full-width selects per
+        # output instead of the masked-sum's M selects + M adds, and
+        # the stacked result writes straight back (no double buffer).
+        def do_gathers():
+            parent_bits = [_index_bits(parents[m], M) for m in range(M)]
+
+            def gather_rows(src, r0, r1):
+                srcs = [src[p, r0:r1, :] for p in range(M)]
+                outs = []
                 for m in range(M):
-                    par = jnp.floor(idxs[m] * 0.5)
-                    parents.append(par)
-                    bits.append(idxs[m] - 2.0 * par)
-                par_all = jnp.concatenate(parents, axis=0)
-                bit_all = jnp.concatenate(bits, axis=0)
-                new_pm = jnp.concatenate(pmc[:M], axis=0)
+                    vals = srcs
+                    for cond in parent_bits[m]:
+                        vals = [
+                            jnp.where(cond, vals[2 * j + 1], vals[2 * j])
+                            for j in range(len(vals) // 2)
+                        ]
+                    outs.append(vals[0])
+                src[:, r0:r1, :] = jnp.stack(outs, axis=0)
 
-            # Clone-by-gather, restricted to levels still live at this
-            # fork (exact reverse-schedule liveness; dead rows are always
-            # rewritten before their next read).  Each output path is a
-            # binary select tree over the M source paths keyed by the bit
-            # planes of its parent index — M−1 full-width selects per
-            # output instead of the masked-sum's M selects + M adds, and
-            # the stacked result writes straight back (no double buffer).
-            def do_gathers():
-                parent_bits = [_index_bits(parents[m], M) for m in range(M)]
+            if live_static is not None:
+                # fully-static liveness: gather exactly the live row spans
+                llr_spans, bit_spans = live_static
+                for r0, r1 in llr_spans:
+                    gather_rows(state_ref, r0, r1)
+                for r0, r1 in bit_spans:
+                    gather_rows(bstate_ref, r0, r1)
+                return
+            # Large levels gather conditionally (liveness saves real
+            # work); small-level tails gather unconditionally in one
+            # contiguous block each (branch overhead would exceed the
+            # savings).
+            cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
+            for level in cond_levels:
+                @pl.when(llrlive_ref[phase, level] == 1)
+                def _(level=level):
+                    gather_rows(state_ref, off[level], off[level] + (N >> level))
 
-                def gather_rows(src, r0, r1):
-                    srcs = [src[p, r0:r1, :] for p in range(M)]
-                    outs = []
-                    for m in range(M):
-                        vals = srcs
-                        for cond in parent_bits[m]:
-                            vals = [
-                                jnp.where(cond, vals[2 * j + 1], vals[2 * j])
-                                for j in range(len(vals) // 2)
-                            ]
-                        outs.append(vals[0])
-                    src[:, r0:r1, :] = jnp.stack(outs, axis=0)
+                @pl.when(bitlive_ref[phase, level] == 1)
+                def _(level=level):
+                    gather_rows(bstate_ref, off[level], off[level] + (N >> level))
+            tail = cond_levels[-1] + 1 if cond_levels else 1
+            if tail <= n:
+                gather_rows(state_ref, off[tail], N - 1)
+                gather_rows(bstate_ref, off[tail], N - 1)
 
-                # Large levels gather conditionally (liveness saves real
-                # work); small-level tails gather unconditionally in one
-                # contiguous block each (branch overhead would exceed the
-                # savings).
-                cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
-                for level in cond_levels:
-                    @pl.when(llrlive_ref[phase, level] == 1)
-                    def _(level=level):
-                        gather_rows(state_ref, off[level], off[level] + (N >> level))
+        # NB (measured negative result): ~1/3 of (fork, tile) pairs at
+        # 5 dB have the identity parent permutation, but guarding the
+        # clone behind a `max(|par-iota|)>0` scalar branch is a net
+        # 2.5-5% LOSS — the per-fork vector→scalar sync stalls the
+        # pipeline for more than the skipped gathers save.
+        if M > 1 and "clone" not in _ABLATE:
+            do_gathers()
+        pm_ref[...] = new_pm
 
-                    @pl.when(bitlive_ref[phase, level] == 1)
-                    def _(level=level):
-                        gather_rows(bstate_ref, off[level], off[level] + (N >> level))
-                tail = cond_levels[-1] + 1 if cond_levels else 1
-                if tail <= n:
-                    gather_rows(state_ref, off[tail], N - 1)
-                    gather_rows(bstate_ref, off[tail], N - 1)
-
-            # NB (measured negative result): ~1/3 of (fork, tile) pairs at
-            # 5 dB have the identity parent permutation, but guarding the
-            # clone behind a `max(|par-iota|)>0` scalar branch is a net
-            # 2.5-5% LOSS — the per-fork vector→scalar sync stalls the
-            # pipeline for more than the skipped gathers save.
-            if M > 1:
-                do_gathers()
-            pm_ref[...] = new_pm
-
-            # traces (leaf is indexed by the *old* slot = parent)
+        # traces (leaf is indexed by the *old* slot = parent)
+        if "traces" not in _ABLATE:
             tparent_ref[pl.ds(i, 1)] = par_all[None]
             tbit_ref[pl.ds(i, 1)] = bit_all[None]
             tleaf_ref[pl.ds(i, 1)] = leaf[:, 0, :][None]
 
-            store_fn(bit_all.reshape(M, 1, BT))
+        store_fn(bit_all.reshape(M, 1, BT))
 
-    if pair_unroll:
+    def leaf_step(phase, store_fn):
+        # Dynamic-phase leaf decision: dispatch frozen/info from SMEM.
+        leaf = state_ref[:, off[n] : off[n] + 1, :]  # [M, 1, BT]
+        fz = frozen_ref[phase]
+
+        @pl.when(fz == 1)
+        def _():
+            frozen_leaf(leaf, store_fn)
+
+        @pl.when(fz == 0)
+        def _():
+            info_leaf(phase, infoidx_ref[phase], leaf, store_fn)
+
+    def store_even(cur0):
+        bstate_ref[:, brows(n), :] = cur0.astype(bit_dtype)
+
+    if static_tables is not None:
+        # Fully-unrolled phase loop: the schedule, frozen mask, info
+        # indices, and liveness are all compile-time constants, so every
+        # loop iteration and schedule/liveness branch disappears — the
+        # whole decode is straight-line Mosaic code.  Larger program
+        # (~N× the loop body) but no per-phase dispatch at all.
+        stat_frozen, stat_infoidx, stat_glevel, stat_store, stat_llr_live, stat_bit_live = static_tables
+
+        def static_spans(live_row):
+            spans = []
+            for level in range(1, n + 1):
+                if live_row[level]:
+                    r0 = off[level]
+                    r1 = r0 + (N >> level)
+                    if spans and spans[-1][1] == r0:
+                        spans[-1] = (spans[-1][0], r1)  # merge contiguous
+                    else:
+                        spans.append((r0, r1))
+            return spans
+
+        for phase in range(N):
+            gl = int(stat_glevel[phase])
+            if gl > 0:
+                _apply_g(gl)
+            for level in range(gl + 1, n + 1):
+                _apply_f(level)
+
+            s_lvls = [s for s in range(1, n + 1) if stat_store[phase, s]]
+            s = s_lvls[0] if s_lvls else None
+
+            def store_fn(cur0, s=s):
+                if s is None or "propagate" in _ABLATE:
+                    return
+                cur = cur0.astype(bit_dtype)
+                for level in range(n, s, -1):
+                    left = bstate_ref[:, brows(level), :]
+                    xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
+                    cur = jnp.concatenate([xor, cur], axis=1)
+                bstate_ref[:, brows(s), :] = cur
+
+            leaf = state_ref[:, off[n] : off[n] + 1, :]
+            if stat_frozen[phase]:
+                frozen_leaf(leaf, store_fn)
+            else:
+                spans = (
+                    static_spans(stat_llr_live[phase]),
+                    static_spans(stat_bit_live[phase]),
+                )
+                info_leaf(phase, int(stat_infoidx[phase]), leaf, store_fn, spans)
+    elif pair_unroll:
         # Two phases per iteration, exploiting the even/odd structure of
         # the schedule: every even phase stores its partial sums directly
         # at the leaf level (no combine chain, no store branch), and every
         # odd phase's LLR update is exactly one g at the leaf level (no
         # g-level branch).  Halves loop iterations and branch dispatches.
-        def store_even(cur0):
-            bstate_ref[:, brows(n), :] = cur0.astype(bit_dtype)
-
         def pair_body(t, _):
             p0 = 2 * t
             p1 = p0 + 1
@@ -542,13 +628,14 @@ def _kernel_body(
         cllrs_ref[pl.ds(i, 1)] = jnp.concatenate(lrow, axis=0)[None]
         curidx_ref[...] = jnp.concatenate(newcur, axis=0)
 
-    jax.lax.fori_loop(0, K, bt_body, None)
+    if "backtrack" not in _ABLATE:
+        jax.lax.fori_loop(0, K, bt_body, None)
 
     # --- CRC selection: first passing candidate, else best metric -----
     best_bits = cbits_ref[:, 0, :]  # [K, BT] (rank 0 fallback)
     best_llrs = cllrs_ref[:, 0, :]
     done = jnp.zeros((1, BT), jnp.bool_)
-    if use_crc:
+    if use_crc and "crc" not in _ABLATE:
         Hc_const = hc_ref[...]  # [deg, K]
         for r in range(M):
             cand = cbits_ref[:, r, :]  # [K, BT]
@@ -572,7 +659,7 @@ def _kernel_body(
 def _build_kernel_for(
     info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int,
     interpret: bool, bit_dtype_name: str = "float32", packed_sort: bool = True,
-    pair_unroll: bool = True,
+    pair_unroll: bool = True, full_unroll: bool = False,
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
@@ -581,9 +668,12 @@ def _build_kernel_for(
     n_state = N - 1
     bit_dtype = jnp.dtype(bit_dtype_name)
 
+    static_tables = (
+        (frozen, infoidx, glevel, store, llr_live, bit_live) if full_unroll else None
+    )
     kernel = functools.partial(
         _kernel_body, N=N, M=M, K=K, use_crc=crc is not None, bit_dtype=bit_dtype,
-        packed_sort=packed_sort, pair_unroll=pair_unroll,
+        packed_sort=packed_sort, pair_unroll=pair_unroll, static_tables=static_tables,
     )
 
     hc_arr = (
@@ -662,8 +752,15 @@ def decode_scl_pallas(
     bit_dtype=jnp.float32,
     packed_sort: Optional[bool] = None,
     pair_unroll: bool = True,
+    full_unroll: bool = True,
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
+
+    full_unroll (default on): statically unroll the 128-phase loop — the
+    schedule/frozen/liveness tables are compile-time constants, so every
+    per-phase branch dispatch disappears (measured +6-9% for M≥2 over the
+    pair-unrolled `fori_loop`; ~46 s first compile at M=8 vs ~8 s, amortized
+    by the persistent compile cache).
 
     bit_dtype: storage dtype of the partial-sum planes.  They hold 0/1
     values only, so ``jnp.bfloat16`` is numerically EXACT (decisions are
@@ -691,7 +788,7 @@ def decode_scl_pallas(
 
     run = _build_kernel_for(
         tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret,
-        jnp.dtype(bit_dtype).name, packed_sort, pair_unroll,
+        jnp.dtype(bit_dtype).name, packed_sort, pair_unroll, full_unroll,
     )
     llr_t = llr.T.astype(jnp.float32)  # [N, B]
     if force_info_bits is None:

@@ -50,8 +50,8 @@ def main() -> None:
     llr = jnp.asarray(llr, jnp.float32)
 
     variants = {
-        "pair": dict(pair_unroll=True),
-        "nopair": dict(pair_unroll=False),
+        "full": dict(full_unroll=True),
+        "pairloop": dict(full_unroll=False),
     }
     for M in args.M:
         fns = {}
