@@ -64,7 +64,7 @@ def _kernel_body(
     curidx_ref,              # [L, BT] f32
     *,
     N: int, L: int, Kp: int, mem: int, taps: Tuple[int, ...], use_crc: bool,
-    packed_sort: bool = False, pair_unroll: bool = True,
+    packed_sort: bool = False, pair_unroll: bool = True, static_tables=None,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -156,82 +156,77 @@ def _kernel_body(
                 for level in range(g_level + 1, n + 1):
                     _apply_f(level)
 
-    def leaf_step(phase, store_fn):
-        leaf = state_ref[:, off[n] : off[n] + 1, :][:, 0, :]  # [L, BT]
-        hard = jnp.where(leaf < 0.0, 1.0, 0.0)
-        base = conv_base()
-        fz = frozen_ref[phase]
+    def frozen_leaf(leaf, hard, base, store_fn):
+        pen = jnp.where(base != hard, jnp.abs(leaf), 0.0)
+        pm_ref[...] = pm_ref[...] + pen
+        conv_shift(jnp.zeros((L, BT), jnp.float32))
+        store_fn(base[:, None, :])
 
-        @pl.when(fz == 1)
-        def _():
-            pen = jnp.where(base != hard, jnp.abs(leaf), 0.0)
-            pm_ref[...] = pm_ref[...] + pen
-            conv_shift(jnp.zeros((L, BT), jnp.float32))
-            store_fn(base[:, None, :])
+    def info_leaf(phase, i, leaf, hard, base, store_fn, live_static=None):
+        v_good = base + hard - 2.0 * base * hard  # XOR
+        pen = jnp.abs(leaf)
+        if packed_sort:
+            # candidates [good×L | bad×L]; creation index == row, so the
+            # packed rows need no reordering
+            pm2 = jnp.concatenate([pm_ref[...], pm_ref[...] + pen], axis=0)
+            idx2 = jax.lax.broadcasted_iota(jnp.int32, (2 * L, BT), 0).astype(
+                jnp.float32
+            )
+            pm_s, idx_s = _packed_sort(pm2, idx2)
+            idx_top = idx_s[:L, :]
+            bad_a = jnp.where(idx_top >= float(L), 1.0, 0.0)
+            par_a = idx_top - float(L) * bad_a
+            parents = [par_a[m : m + 1, :] for m in range(L)]
+            badflags = [bad_a[m : m + 1, :] for m in range(L)]
+            new_pm = pm_s[:L, :]
+        else:
+            pmc = [pm_ref[p : p + 1, :] for p in range(L)]
+            pmc += [pm_ref[p : p + 1, :] + pen[p : p + 1, :] for p in range(L)]
+            idxs = [jnp.full((1, BT), float(c), jnp.float32) for c in range(2 * L)]
+            for ia, ib in sort_pairs_2l:
+                swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
+                pa, pb = pmc[ia], pmc[ib]
+                xa, xb = idxs[ia], idxs[ib]
+                pmc[ia] = jnp.where(swap, pb, pa)
+                pmc[ib] = jnp.where(swap, pa, pb)
+                idxs[ia] = jnp.where(swap, xb, xa)
+                idxs[ib] = jnp.where(swap, xa, xb)
 
-        @pl.when(fz == 0)
-        def _():
-            i = infoidx_ref[phase]
-            v_good = base + hard - 2.0 * base * hard  # XOR
-            pen = jnp.abs(leaf)
-            if packed_sort:
-                # candidates [good×L | bad×L]; creation index == row, so the
-                # packed rows need no reordering
-                pm2 = jnp.concatenate([pm_ref[...], pm_ref[...] + pen], axis=0)
-                idx2 = jax.lax.broadcasted_iota(jnp.int32, (2 * L, BT), 0).astype(
-                    jnp.float32
-                )
-                pm_s, idx_s = _packed_sort(pm2, idx2)
-                idx_top = idx_s[:L, :]
-                bad_a = jnp.where(idx_top >= float(L), 1.0, 0.0)
-                par_a = idx_top - float(L) * bad_a
-                parents = [par_a[m : m + 1, :] for m in range(L)]
-                badflags = [bad_a[m : m + 1, :] for m in range(L)]
-                new_pm = pm_s[:L, :]
-            else:
-                pmc = [pm_ref[p : p + 1, :] for p in range(L)]
-                pmc += [pm_ref[p : p + 1, :] + pen[p : p + 1, :] for p in range(L)]
-                idxs = [jnp.full((1, BT), float(c), jnp.float32) for c in range(2 * L)]
-                for ia, ib in sort_pairs_2l:
-                    swap = (pmc[ia] > pmc[ib]) | ((pmc[ia] == pmc[ib]) & (idxs[ia] > idxs[ib]))
-                    pa, pb = pmc[ia], pmc[ib]
-                    xa, xb = idxs[ia], idxs[ib]
-                    pmc[ia] = jnp.where(swap, pb, pa)
-                    pmc[ib] = jnp.where(swap, pa, pb)
-                    idxs[ia] = jnp.where(swap, xb, xa)
-                    idxs[ib] = jnp.where(swap, xa, xb)
+            parents = []
+            badflags = []
+            for m in range(L):
+                is_bad = jnp.where(idxs[m] >= float(L), 1.0, 0.0)
+                parents.append(idxs[m] - float(L) * is_bad)
+                badflags.append(is_bad)
+            new_pm = jnp.concatenate(pmc[:L], axis=0)
 
-                parents = []
-                badflags = []
-                for m in range(L):
-                    is_bad = jnp.where(idxs[m] >= float(L), 1.0, 0.0)
-                    parents.append(idxs[m] - float(L) * is_bad)
-                    badflags.append(is_bad)
-                new_pm = jnp.concatenate(pmc[:L], axis=0)
+        # Binary select tree per output path (see ops/scl_pallas.py):
+        # L−1 full-width selects instead of L selects + L adds, written
+        # straight back in place.  L=1 skips (parent is always slot 0).
+        parent_bits = [_index_bits(parents[m], L) for m in range(L)]
 
-            # Binary select tree per output path (see ops/scl_pallas.py):
-            # L−1 full-width selects instead of L selects + L adds, written
-            # straight back in place.  L=1 skips (parent is always slot 0).
-            parent_bits = [_index_bits(parents[m], L) for m in range(L)]
+        def tree_gather(srcs):
+            outs = []
+            for m in range(L):
+                vals = srcs
+                for cond in parent_bits[m]:
+                    vals = [
+                        jnp.where(cond, vals[2 * j + 1], vals[2 * j])
+                        for j in range(len(vals) // 2)
+                    ]
+                outs.append(vals[0])
+            return outs
 
-            def tree_gather(srcs):
-                outs = []
-                for m in range(L):
-                    vals = srcs
-                    for cond in parent_bits[m]:
-                        vals = [
-                            jnp.where(cond, vals[2 * j + 1], vals[2 * j])
-                            for j in range(len(vals) // 2)
-                        ]
-                    outs.append(vals[0])
-                return outs
+        def gather_rows(r0, r1):
+            if L == 1:
+                return
+            outs = tree_gather([state_ref[p, r0:r1, :] for p in range(L)])
+            state_ref[:, r0:r1, :] = jnp.stack(outs, axis=0)
 
-            def gather_rows(r0, r1):
-                if L == 1:
-                    return
-                outs = tree_gather([state_ref[p, r0:r1, :] for p in range(L)])
-                state_ref[:, r0:r1, :] = jnp.stack(outs, axis=0)
-
+        if live_static is not None:
+            for r0, r1 in live_static:  # statically-merged live row spans
+                gather_rows(r0, r1)
+        else:
             cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
             for level in cond_levels:
                 @pl.when(llrlive_ref[phase, level] == 1)
@@ -246,37 +241,101 @@ def _kernel_body(
                 gather_rows(off[tail], N - 1)
                 gather_rows(SB + off[tail], SB + N - 1)
 
-            # gather conv state and pm; compute per-path decisions
-            if L > 1:
-                outs = tree_gather([conv_ref[p] for p in range(L)])
-                conv_ref[...] = jnp.stack(outs, axis=0)
-            pm_ref[...] = new_pm
+        # gather conv state and pm; compute per-path decisions
+        if L > 1:
+            outs = tree_gather([conv_ref[p] for p in range(L)])
+            conv_ref[...] = jnp.stack(outs, axis=0)
+        pm_ref[...] = new_pm
 
-            vg_rows = []
-            base_rows = []
-            for m in range(L):
-                vg_rows.append(_select_m(v_good, parents[m]))
-                base_rows.append(_select_m(base, parents[m]))
-            v_bits = []
-            edges = []
-            for m in range(L):
-                v = vg_rows[m] + badflags[m] - 2.0 * vg_rows[m] * badflags[m]
-                v_bits.append(v)
-                edges.append(base_rows[m] + v - 2.0 * base_rows[m] * v)
+        vg_rows = []
+        base_rows = []
+        for m in range(L):
+            vg_rows.append(_select_m(v_good, parents[m]))
+            base_rows.append(_select_m(base, parents[m]))
+        v_bits = []
+        edges = []
+        for m in range(L):
+            v = vg_rows[m] + badflags[m] - 2.0 * vg_rows[m] * badflags[m]
+            v_bits.append(v)
+            edges.append(base_rows[m] + v - 2.0 * base_rows[m] * v)
 
-            tparent_ref[pl.ds(i, 1)] = jnp.concatenate(parents, axis=0)[None]
-            tbit_ref[pl.ds(i, 1)] = jnp.concatenate(v_bits, axis=0)[None]
+        tparent_ref[pl.ds(i, 1)] = jnp.concatenate(parents, axis=0)[None]
+        tbit_ref[pl.ds(i, 1)] = jnp.concatenate(v_bits, axis=0)[None]
 
-            conv_shift(jnp.concatenate(v_bits, axis=0))
-            store_fn(jnp.concatenate(edges, axis=0)[:, None, :])
+        conv_shift(jnp.concatenate(v_bits, axis=0))
+        store_fn(jnp.concatenate(edges, axis=0)[:, None, :])
 
-    if pair_unroll:
+    def leaf_step(phase, store_fn):
+        leaf = state_ref[:, off[n] : off[n] + 1, :][:, 0, :]  # [L, BT]
+        hard = jnp.where(leaf < 0.0, 1.0, 0.0)
+        base = conv_base()
+        fz = frozen_ref[phase]
+
+        @pl.when(fz == 1)
+        def _():
+            frozen_leaf(leaf, hard, base, store_fn)
+
+        @pl.when(fz == 0)
+        def _():
+            info_leaf(phase, infoidx_ref[phase], leaf, hard, base, store_fn)
+
+    def store_even(cur0):
+        state_ref[:, brows(n), :] = cur0
+
+    if static_tables is not None:
+        # Fully-unrolled phase loop (see ops/scl_pallas.py): the schedule,
+        # frozen mask, info indices, and liveness are compile-time
+        # constants — zero per-phase branch dispatch.
+        stat_frozen, stat_infoidx, stat_glevel, stat_store, stat_llr_live, stat_bit_live = static_tables
+
+        def static_spans(llr_row, bit_row):
+            spans = []
+            for base_off, row in ((0, llr_row), (SB, bit_row)):
+                for level in range(1, n + 1):
+                    if row[level]:
+                        r0 = base_off + off[level]
+                        r1 = r0 + (N >> level)
+                        if spans and spans[-1][1] == r0:
+                            spans[-1] = (spans[-1][0], r1)
+                        else:
+                            spans.append((r0, r1))
+            return spans
+
+        for phase in range(N):
+            gl = int(stat_glevel[phase])
+            if gl > 0:
+                _apply_g(gl)
+            for level in range(gl + 1, n + 1):
+                _apply_f(level)
+
+            s_lvls = [s for s in range(1, n + 1) if stat_store[phase, s]]
+            s = s_lvls[0] if s_lvls else None
+
+            def store_fn(cur0, s=s):
+                if s is None:
+                    return
+                cur = cur0
+                for level in range(n, s, -1):
+                    left = state_ref[:, brows(level), :]
+                    xor = left + cur - 2.0 * left * cur
+                    cur = jnp.concatenate([xor, cur], axis=1)
+                state_ref[:, brows(s), :] = cur
+
+            leaf = state_ref[:, off[n] : off[n] + 1, :][:, 0, :]
+            hard = jnp.where(leaf < 0.0, 1.0, 0.0)
+            base = conv_base()
+            if stat_frozen[phase]:
+                frozen_leaf(leaf, hard, base, store_fn)
+            else:
+                spans = static_spans(stat_llr_live[phase], stat_bit_live[phase])
+                info_leaf(
+                    phase, int(stat_infoidx[phase]), leaf, hard, base,
+                    store_fn, spans,
+                )
+    elif pair_unroll:
         # (even, odd) phases per iteration — see ops/scl_pallas.py: even
         # phases store partial sums directly at the leaf level, odd phases'
         # LLR update is an unconditional g at the leaf.
-        def store_even(cur0):
-            state_ref[:, brows(n), :] = cur0
-
         def pair_body(t, _):
             p0 = 2 * t
             p1 = p0 + 1
@@ -352,7 +411,8 @@ def _kernel_body(
 
 @functools.lru_cache(maxsize=16)
 def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, interpret: bool,
-           packed_sort: bool = False, pair_unroll: bool = True):
+           packed_sort: bool = False, pair_unroll: bool = True,
+           full_unroll: bool = True):
     mask = np.asarray(mask_key, dtype=np.int64)
     gen = list(gen_key)
     mem = len(gen) - 1
@@ -379,10 +439,14 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
     else:
         Hc_perm = np.zeros((1, 1), np.float32)
 
+    static_tables = (
+        (frozen, infoidx, glevel, store, llr_live, bit_live) if full_unroll else None
+    )
     kernel = functools.partial(
         _kernel_body, N=N, L=L, Kp=Kp, mem=mem,
         taps=tuple(gen[1:]), use_crc=crc_len > 0,
         packed_sort=packed_sort, pair_unroll=pair_unroll,
+        static_tables=static_tables,
     )
     n_state = 2 * (N - 1)
 
@@ -439,6 +503,7 @@ def pac_list_decode_pallas(
     interpret: bool = False,
     packed_sort: Optional[bool] = None,
     pair_unroll: bool = True,
+    full_unroll: Optional[bool] = None,
 ) -> dict:
     """Fused-kernel PAC list decode.  llr: [B, N].
 
@@ -457,9 +522,11 @@ def pac_list_decode_pallas(
     mask = np.asarray(mask)
     if packed_sort is None:
         packed_sort = L >= 4  # same measured threshold as the SCL kernel
+    if full_unroll is None:
+        full_unroll = not interpret  # interpret tracing ~3× slower unrolled
     run = _build(
         tuple(int(x) for x in mask), tuple(gen), L, crc_len, crc_poly,
-        block_batch, interpret, packed_sort, pair_unroll,
+        block_batch, interpret, packed_sort, pair_unroll, full_unroll,
     )
     n = int(math.log2(mask.size))
     perm = np.array([bitreversed(j, n) for j in range(mask.size)])

@@ -752,15 +752,16 @@ def decode_scl_pallas(
     bit_dtype=jnp.float32,
     packed_sort: Optional[bool] = None,
     pair_unroll: bool = True,
-    full_unroll: bool = True,
+    full_unroll: Optional[bool] = None,
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
 
-    full_unroll (default on): statically unroll the 128-phase loop — the
-    schedule/frozen/liveness tables are compile-time constants, so every
-    per-phase branch dispatch disappears (measured +6-9% for M≥2 over the
-    pair-unrolled `fori_loop`; ~46 s first compile at M=8 vs ~8 s, amortized
-    by the persistent compile cache).
+    full_unroll (default: on when compiled, off in interpret mode —
+    interpret tracing is ~3× slower unrolled): statically unroll the
+    128-phase loop — the schedule/frozen/liveness tables are compile-time
+    constants, so every per-phase branch dispatch disappears (measured
+    +6-9% for M≥2 over the pair-unrolled `fori_loop`; ~46 s first compile
+    at M=8 vs ~8 s, amortized by the persistent compile cache).
 
     bit_dtype: storage dtype of the partial-sum planes.  They hold 0/1
     values only, so ``jnp.bfloat16`` is numerically EXACT (decisions are
@@ -783,6 +784,8 @@ def decode_scl_pallas(
         # measured: sublane-packed bitonic wins ~1-1.5% at M>=4 (16/8-row
         # networks); at M=1 the 2-row rolls cost more than row comparators
         packed_sort = M >= 4
+    if full_unroll is None:
+        full_unroll = not interpret
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
 

@@ -37,14 +37,15 @@ def _frames(mask, seed=0, snr_db=3.0):
 
 
 @pytest.mark.parametrize("L", [1, 4])
-def test_pac_kernel_matches_xla(mask, L):
+@pytest.mark.parametrize("full_unroll", [False, True])
+def test_pac_kernel_matches_xla(mask, L, full_unroll):
     llr = _frames(mask, seed=L)
     ref = pac_list_decode_batch(
         llr, mask, GEN, L, crc_len=CRC_LEN, crc_poly=CRC_POLY, dtype=jnp.float32
     )
     out = pac_list_decode_pallas(
         llr, mask, GEN, L, crc_len=CRC_LEN, crc_poly=CRC_POLY,
-        block_batch=B, interpret=True,
+        block_batch=B, interpret=True, full_unroll=full_unroll,
     )
     np.testing.assert_array_equal(
         np.asarray(out["extracted"]), np.asarray(ref["extracted"])

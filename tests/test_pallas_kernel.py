@@ -25,11 +25,15 @@ def _llrs(seed=0, scale=3.0):
 
 @pytest.mark.parametrize("M", [1, 2, 4])
 @pytest.mark.parametrize("use_crc", [True, False])
-def test_kernel_matches_xla(info_set, M, use_crc):
+@pytest.mark.parametrize("full_unroll", [False, True])
+def test_kernel_matches_xla(info_set, M, use_crc, full_unroll):
     crc = CRC if use_crc else None
     llr = _llrs(seed=M)
     ref = decode_scl_batch(llr, info_set, M, crc, dtype=jnp.float32)
-    out = decode_scl_pallas(llr, info_set, M, crc, block_batch=B, interpret=True)
+    out = decode_scl_pallas(
+        llr, info_set, M, crc, block_batch=B, interpret=True,
+        full_unroll=full_unroll,
+    )
     np.testing.assert_array_equal(
         np.asarray(out["best_path_bits"]), np.asarray(ref.best_path_bits)
     )
