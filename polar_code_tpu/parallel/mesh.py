@@ -104,6 +104,15 @@ def maybe_distributed_init() -> bool:
                 f"cluster markers present but jax.distributed auto-detection "
                 f"failed ({exc}); continuing single-process"
             )
+    if _DIST_INITIALIZED and jax.process_count() > 1:
+        # Establish the cross-process collective context (Gloo/ICI clique)
+        # now, while all processes are within milliseconds of each other.
+        # The first collective otherwise runs only after each process has
+        # compiled its (large) step graph, and the transport's context
+        # handshake has a ~30 s internal deadline — under CPU contention the
+        # compile-time skew between processes can exceed it and abort the
+        # job with "Gloo context initialization failed: DEADLINE_EXCEEDED".
+        sync_processes("collective_init_warmup")
     return jax.process_count() > 1
 
 
