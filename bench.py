@@ -53,7 +53,10 @@ def main() -> None:
     nv = noise_var_coded(args.snr_db, cfg.K, cfg.N)
     payload_bits = cfg.K - cfg.crc_bits
     use_pallas = (
-        resolve_backend("auto", batch=args.batch, M=args.M, dtype=jnp.float32)
+        resolve_backend(
+            "auto", batch=args.batch, M=args.M, dtype=jnp.float32,
+            N=cfg.N, K=cfg.K,
+        )
         == "pallas"
     )
 

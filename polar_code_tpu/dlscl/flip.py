@@ -204,7 +204,10 @@ def decode_with_retries_batch(
             )
             return out["best_path_bits"], out["best_path_info_llrs"], out["crc_pass"]
     else:
-        _dec_full = make_scl_decoder(info_np, M, crc, batch=B, dtype=dtype, backend=backend)
+        _dec_full = make_scl_decoder(
+            info_np, M, crc, batch=B, dtype=dtype, backend=backend,
+            N=int(llr.shape[1]),
+        )
 
         def _decode(forced):
             return _dec_full(llr, forced)
@@ -296,13 +299,15 @@ def _decode_with_retries_compact(
 
     from ..ops.backend import make_scl_decoder
 
-    dec_full = make_scl_decoder(info_np, M, crc, batch=B, dtype=dtype, backend=backend)
+    dec_full = make_scl_decoder(
+        info_np, M, crc, batch=B, dtype=dtype, backend=backend, N=N
+    )
     # an explicit "pallas" request may be ineligible at the chunk size
     # (C not a block multiple) — fall back to xla for the chunks rather
     # than raising for the whole sweep
     chunk_backend = "auto" if backend == "pallas" else backend
     dec_chunk = make_scl_decoder(
-        info_np, M, crc, batch=C, dtype=dtype, backend=chunk_backend
+        info_np, M, crc, batch=C, dtype=dtype, backend=chunk_backend, N=N
     )
 
     base_bits, base_llrs, base_pass = dec_full(llr, jnp.full((B, K), -1, jnp.int8))

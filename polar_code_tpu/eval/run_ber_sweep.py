@@ -70,7 +70,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
     params_label = ""
 
     if args.scheme in {"polar_scl", "dl_scl", "nr_polar_scl"}:
-        info_set = construct_info_set(N, K_total)
+        info_set = construct_info_set(N, K_total, method=args.construction)
 
     bg = None
     if args.scheme == "polar_scl":
@@ -217,6 +217,16 @@ def parse_args(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
     parser.add_argument("--K_crc", type=int, required=True, help="CRC bits per frame")
     parser.add_argument("--E", type=int, required=True, help="Coded bits transmitted")
     parser.add_argument("--N", type=int, help="Polar length before rate match (defaults to E)")
+    parser.add_argument(
+        "--construction",
+        type=str,
+        default="gaussian",
+        choices=["gaussian", "gaussian_bitrev", "polarization"],
+        help="Info-set construction. 'gaussian' replicates the reference's "
+        "DEGA (near-optimal at N=128 but degrading for larger codes — its "
+        "recursion indexes channels in bit-reversed order); use "
+        "'gaussian_bitrev' or 'polarization' for N > 128.",
+    )
     parser.add_argument("--crc_poly", type=str, default=global_config.DEFAULTS.crc_poly)
     parser.add_argument("--M", type=int, default=4, help="List size for polar decoders")
     parser.add_argument("--retries", type=int, default=8, help="Retries for DL-SCL")

@@ -33,16 +33,28 @@ def resolve_backend(
     M: int,
     dtype,
     multi_device: bool = False,
+    N: int = None,
+    K: int = None,
 ) -> str:
-    """Return "pallas" or "xla" for a decode of the given shape."""
+    """Return "pallas" or "xla" for a decode of the given shape.
+
+    When the code shape (N, K) is supplied, kernel eligibility also checks
+    the kernel's VMEM footprint against the per-core budget (e.g. N=1024
+    M=8 needs ~18 MB > 16 MB VMEM and must run on the XLA path)."""
 
     if backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown backend: {backend}")
     if backend == "xla":
         return "xla"
+    fits_vmem = True
+    if N is not None and K is not None:
+        from .scl_pallas import VMEM_BUDGET_BYTES, kernel_vmem_bytes
+
+        fits_vmem = kernel_vmem_bytes(N, K, M, PALLAS_BLOCK) <= VMEM_BUDGET_BYTES
     eligible = (
         (M & (M - 1)) == 0
-        and M <= 8  # VMEM budget: per-path state + traces at BT=128
+        and M <= 8  # sort/clone networks sized (and measured) for M ≤ 8
+        and fits_vmem
         and batch % PALLAS_BLOCK == 0
         and jnp.dtype(dtype) == jnp.float32
         and not multi_device
@@ -50,21 +62,31 @@ def resolve_backend(
     )
     if backend == "pallas" and not eligible:
         raise ValueError(
-            "pallas backend requires a TPU, f32, power-of-two M, "
-            f"batch % {PALLAS_BLOCK} == 0, and a single-device mesh"
+            "pallas backend requires a TPU, f32, power-of-two M <= 8, "
+            f"batch % {PALLAS_BLOCK} == 0, a single-device mesh, and a "
+            "code that fits the kernel's VMEM budget"
         )
     return "pallas" if eligible else "xla"
 
 
-def make_scl_decoder(info_np, M: int, crc, *, batch: int, dtype, backend: str = "auto"):
+def make_scl_decoder(
+    info_np, M: int, crc, *, batch: int, dtype, backend: str = "auto",
+    N: int = None,
+):
     """Shared kernel/XLA dispatch: returns `decode(llr[, forced]) ->
     (best_path_bits, best_path_info_llrs, crc_pass)` for the given shape.
 
     Falls back to the XLA decoder whenever the batch/backend is not
     Pallas-eligible (an explicit "pallas" request for an ineligible batch
-    still raises, from `resolve_backend`)."""
+    still raises, from `resolve_backend`).  Pass the code length `N` so
+    auto-selection can also check the kernel's VMEM budget."""
 
-    which = resolve_backend(backend, batch=batch, M=M, dtype=dtype)
+    import numpy as np
+
+    which = resolve_backend(
+        backend, batch=batch, M=M, dtype=dtype, N=N,
+        K=int(np.asarray(info_np).size) if N is not None else None,
+    )
 
     def decode(llr, forced=None):
         if which == "pallas":

@@ -252,7 +252,12 @@ def _select_m(rows, idx):
 
 
 def _kernel_body(
-    # scalar-prefetch (SMEM)
+    # scalar-prefetch (SMEM).  The per-(phase, level) tables ride as FLAT
+    # 1-D arrays indexed `phase*(n+1)+level`: SMEM pads a 2-D array's minor
+    # dim to 128, which would cost 512 KB per [N, n+1] table at N=1024 and
+    # blow the 1 MB SMEM budget.  Under `full_unroll` the tables are unused
+    # (the schedule is baked into the program) and 1-element dummies are
+    # prefetched instead.
     glevel_ref, store_ref, frozen_ref, infoidx_ref, llrlive_ref, bitlive_ref,
     # inputs (VMEM blocks)
     llr_ref,      # [N, BT] channel LLRs
@@ -267,9 +272,10 @@ def _kernel_body(
     bstate_ref,   # [M, N−1, BT] partial-sum rows; 0/1 values, so bf16 is
                   # exact and halves the clone-gather bytes (`bit_dtype`)
     pm_ref,       # [M, BT] f32 path metrics
-    tparent_ref,  # [K, M, BT] f32 trace: parent slot per info phase
-    tbit_ref,     # [K, M, BT] f32 trace: chosen bit
-    tleaf_ref,    # [K, M, BT] f32 trace: leaf LLR by *parent* slot
+    tidx_ref,     # [K·M, BT] f32 trace: creation index 2·parent+bit, rows
+                  # i·M+m (flat — a [K, M, BT] buffer pads M to 8 sublanes,
+                  # wasting up to 8× for small lists)
+    tleaf_ref,    # [K·M, BT] f32 trace: leaf LLR by *parent* slot
     cbits_ref,    # [K, M, BT] f32 reconstructed candidate bits
     cllrs_ref,    # [K, M, BT] f32 reconstructed candidate LLRs
     curidx_ref,   # [M, BT] f32 backtrack cursor
@@ -313,7 +319,7 @@ def _kernel_body(
         if "propagate" in _ABLATE:
             return
         for s in range((n if smax is None else smax), 0, -1):
-            @pl.when(store_ref[phase, s] == 1)
+            @pl.when(store_ref[phase * (n + 1) + s] == 1)
             def _(s=s):
                 cur = cur0.astype(bit_dtype)  # 0/1 values: exact in bf16
                 for level in range(n, s, -1):
@@ -469,11 +475,11 @@ def _kernel_body(
             # savings).
             cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
             for level in cond_levels:
-                @pl.when(llrlive_ref[phase, level] == 1)
+                @pl.when(llrlive_ref[phase * (n + 1) + level] == 1)
                 def _(level=level):
                     gather_rows(state_ref, off[level], off[level] + (N >> level))
 
-                @pl.when(bitlive_ref[phase, level] == 1)
+                @pl.when(bitlive_ref[phase * (n + 1) + level] == 1)
                 def _(level=level):
                     gather_rows(bstate_ref, off[level], off[level] + (N >> level))
             tail = cond_levels[-1] + 1 if cond_levels else 1
@@ -490,11 +496,11 @@ def _kernel_body(
             do_gathers()
         pm_ref[...] = new_pm
 
-        # traces (leaf is indexed by the *old* slot = parent)
+        # traces (leaf is indexed by the *old* slot = parent); parent and
+        # bit pack losslessly as the creation index 2p+b ∈ [0, 2M) in f32
         if "traces" not in _ABLATE:
-            tparent_ref[pl.ds(i, 1)] = par_all[None]
-            tbit_ref[pl.ds(i, 1)] = bit_all[None]
-            tleaf_ref[pl.ds(i, 1)] = leaf[:, 0, :][None]
+            tidx_ref[pl.ds(i * M, M)] = 2.0 * par_all + bit_all
+            tleaf_ref[pl.ds(i * M, M)] = leaf[:, 0, :]
 
         store_fn(bit_all.reshape(M, 1, BT))
 
@@ -610,16 +616,16 @@ def _kernel_body(
 
     def bt_body(t, _):
         i = K - 1 - t
-        tb = tbit_ref[pl.ds(i, 1)][0]  # [M, BT]
-        tp = tparent_ref[pl.ds(i, 1)][0]
-        tl = tleaf_ref[pl.ds(i, 1)][0]
+        tx = tidx_ref[pl.ds(i * M, M)]  # [M, BT] creation indices 2p+b
+        tl = tleaf_ref[pl.ds(i * M, M)]
         newcur = []
         brow = []
         lrow = []
         for r in range(M):
             ci = curidx_ref[r : r + 1, :]
-            b = _select_m(tb, ci)
-            p = _select_m(tp, ci)
+            x = _select_m(tx, ci)
+            p = jnp.floor(x * 0.5)
+            b = x - 2.0 * p
             l = _select_m(tl, p)
             brow.append(b)
             lrow.append(l)
@@ -676,6 +682,17 @@ def _build_kernel_for(
         packed_sort=packed_sort, pair_unroll=pair_unroll, static_tables=static_tables,
     )
 
+    if full_unroll:
+        # schedule baked into the program — prefetch 1-element dummies
+        dummy = np.zeros(1, np.int32)
+        prefetch = (dummy,) * 6
+    else:
+        # 2-D tables ride flattened: SMEM pads minor dims to 128
+        prefetch = (
+            glevel, store.reshape(-1), frozen, infoidx,
+            llr_live.reshape(-1), bit_live.reshape(-1),
+        )
+
     hc_arr = (
         np.asarray(Hc, np.float32) if Hc is not None else np.zeros((1, 1), np.float32)
     )
@@ -693,11 +710,10 @@ def _build_kernel_for(
         pltpu.VMEM((M, n_state, BT), jnp.float32),
         pltpu.VMEM((M, n_state, BT), bit_dtype),
         pltpu.VMEM((M, BT), jnp.float32),
-        pltpu.VMEM((K, M, BT), jnp.float32),
-        pltpu.VMEM((K, M, BT), jnp.float32),
-        pltpu.VMEM((K, M, BT), jnp.float32),
-        pltpu.VMEM((K, M, BT), jnp.float32),
-        pltpu.VMEM((K, M, BT), jnp.float32),
+        pltpu.VMEM((K * M, BT), jnp.float32),  # tidx (flat: no M→8 padding)
+        pltpu.VMEM((K * M, BT), jnp.float32),  # tleaf
+        pltpu.VMEM((K, M, BT), jnp.float32),   # cbits (M-padded: the CRC
+        pltpu.VMEM((K, M, BT), jnp.float32),   # cllrs  pass slices per-cand)
         pltpu.VMEM((M, BT), jnp.float32),
     ]
 
@@ -720,8 +736,7 @@ def _build_kernel_for(
             ],
             interpret=interpret,
         )(
-            jnp.asarray(glevel), jnp.asarray(store), jnp.asarray(frozen),
-            jnp.asarray(infoidx), jnp.asarray(llr_live), jnp.asarray(bit_live),
+            *(jnp.asarray(p) for p in prefetch),
             llr_t, forced_t, jnp.asarray(hc_arr),
         )
         return bits_t, llrs_t, pass_t
@@ -729,13 +744,49 @@ def _build_kernel_for(
     return run
 
 
-def _default_block(M: int, B: int) -> int:
+# v5e VMEM is ~16 MiB/core; leave headroom for Mosaic temporaries and the
+# double-buffered input/output blocks the pipeline keeps in flight.
+VMEM_BUDGET_BYTES = 13 * 2**20
+
+
+def kernel_vmem_bytes(
+    N: int, K: int, M: int, BT: int = 128, bit_dtype=jnp.float32
+) -> int:
+    """Upper-bound VMEM footprint of one kernel program (scratch + blocks).
+
+    Mirrors `_build_kernel_for`'s scratch list, including the sublane
+    padding Mosaic applies to the second-to-last dim (8 rows for 32-bit
+    dtypes, 16 for 16-bit).  Used by `_default_block` and the backend
+    auto-selection to route over-budget (N, K, M) shapes to the XLA
+    decoder instead of failing the Mosaic compile.
+    """
+
+    def pad(x, p=8):
+        return -(-int(x) // p) * p
+
+    bit_isz = jnp.dtype(bit_dtype).itemsize
+    bit_pad = 16 if bit_isz == 2 else 8
+    n_state = N - 1
+    b = M * pad(n_state) * BT * 4                   # LLR planes
+    b += M * pad(n_state, bit_pad) * BT * bit_isz   # partial-sum planes
+    b += 2 * pad(M) * BT * 4                        # pm + curidx
+    b += 2 * pad(K * M) * BT * 4                    # tidx + tleaf traces
+    b += 2 * K * pad(M) * BT * 4                    # cbits + cllrs
+    # input/output blocks: llr [N, BT], forced [K, BT], bits/llrs [K, BT],
+    # pass [1, BT], CRC matrix [deg, K]
+    b += (pad(N) + 3 * pad(K) + pad(1)) * BT * 4
+    b += pad(24) * pad(K, 128) * 4
+    return b
+
+
+def _default_block(M: int, B: int, N: int = 128, K: int = 64) -> int:
     """Measured-best batch tile per list size (v5e): small M is phase-loop
-    bound and profits from wider tiles; M=8's VMEM prefers 128."""
+    bound and profits from wider tiles; M=8's VMEM prefers 128.  Tiles that
+    would exceed the VMEM budget at this (N, K, M) are skipped."""
 
     prefs = {1: (512, 256, 128), 2: (512, 256, 128), 4: (256, 128)}.get(M, (128,))
     for bt in prefs:
-        if B % bt == 0:
+        if B % bt == 0 and kernel_vmem_bytes(N, K, M, bt) <= VMEM_BUDGET_BYTES:
             return bt
     return 128
 
@@ -756,12 +807,14 @@ def decode_scl_pallas(
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
 
-    full_unroll (default: on when compiled, off in interpret mode —
-    interpret tracing is ~3× slower unrolled): statically unroll the
-    128-phase loop — the schedule/frozen/liveness tables are compile-time
-    constants, so every per-phase branch dispatch disappears (measured
-    +6-9% for M≥2 over the pair-unrolled `fori_loop`; ~46 s first compile
-    at M=8 vs ~8 s, amortized by the persistent compile cache).
+    full_unroll (default: on when compiled at N≤128, off in interpret mode
+    — interpret tracing is ~3× slower unrolled — and off for larger codes,
+    where it measures no faster but compiles ~10× slower): statically
+    unroll the N-phase loop — the schedule/frozen/liveness tables are
+    compile-time constants, so every per-phase branch dispatch disappears
+    (measured +6-9% for M≥2 over the pair-unrolled `fori_loop` at N=128;
+    ~46 s first compile at M=8 vs ~8 s, amortized by the persistent
+    compile cache).
 
     bit_dtype: storage dtype of the partial-sum planes.  They hold 0/1
     values only, so ``jnp.bfloat16`` is numerically EXACT (decisions are
@@ -779,13 +832,16 @@ def decode_scl_pallas(
     B, N = int(llr.shape[0]), int(llr.shape[1])
     K = int(info_np.size)
     if block_batch is None:
-        block_batch = _default_block(M, B)
+        block_batch = _default_block(M, B, N, K)
     if packed_sort is None:
         # measured: sublane-packed bitonic wins ~1-1.5% at M>=4 (16/8-row
         # networks); at M=1 the 2-row rolls cost more than row comparators
         packed_sort = M >= 4
     if full_unroll is None:
-        full_unroll = not interpret
+        # measured on v5e: +6-9% at N=128 (~46 s first compile), but NO
+        # speedup at N=256 (13.34 vs 13.39 ms) for a ~10× compile cost —
+        # the loop form's branch dispatch amortizes over the wider rows.
+        full_unroll = not interpret and N <= 128
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
 
@@ -856,4 +912,9 @@ def decode_scl_pallas_sharded(
     )(llr, force_info_bits)
 
 
-__all__ = ["decode_scl_pallas", "decode_scl_pallas_sharded"]
+__all__ = [
+    "decode_scl_pallas",
+    "decode_scl_pallas_sharded",
+    "kernel_vmem_bytes",
+    "VMEM_BUDGET_BYTES",
+]

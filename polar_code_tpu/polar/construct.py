@@ -14,6 +14,21 @@ Semantics follow the reference (`dl_scl_polar/polar/polar.py:37-103`):
 
 Stable argsort + take-K-best + ascending sort, matching the reference
 bit-for-bit (identical float64 arithmetic).
+
+One extra method with no reference counterpart:
+
+* ``method="gaussian_bitrev"`` — the same DEGA recursion with its output
+  read in bit-reversed index order.  The reference recursion consumes the
+  index bits LSB-first (level ℓ splits on bit ℓ−1), while its natural-order
+  SC decoder's root-to-leaf path consumes them MSB-first, so ``m[i]`` is
+  really the mean LLR of decoder channel ``bitrev(i)``.  At N=128 the
+  selected set is still near-optimal (and pinned by parity tests), but the
+  mismatch grows with N: at N=512/K=256, Eb/N0 5 dB, SCL M=8, the reference
+  ordering measures FER 0.29 while the corrected one measures 0 errors in
+  32768 frames (the corrected set also agrees with the β-expansion
+  polarization weights on 254/256 positions vs 194/256 for the reference
+  ordering).  Use this (or ``"polarization"``) for codes larger than the
+  reference's N=128.
 """
 
 from __future__ import annotations
@@ -36,6 +51,17 @@ def polarization_weights(N: int) -> np.ndarray:
     idx = np.arange(N)[:, None]
     bits = (idx >> np.arange(n)[None, :]) & 1
     return (bits * (2.0 ** (np.arange(n) / 4.0))[None, :]).sum(axis=1)
+
+
+def bit_reversal_permutation(N: int) -> np.ndarray:
+    """perm[i] = the log2(N)-bit reversal of i."""
+
+    n = int(math.log2(N))
+    idx = np.arange(N)
+    rev = np.zeros(N, dtype=np.int64)
+    for b in range(n):
+        rev |= ((idx >> b) & 1) << (n - 1 - b)
+    return rev
 
 
 def _phi_inv(x: float) -> float:
@@ -90,6 +116,12 @@ def construct_info_set(
     elif method == "gaussian":
         pe = gaussian_pe(N, K, design_snr_db)
         order = np.argsort(pe, kind="stable")
+    elif method == "gaussian_bitrev":
+        # corrected index order for the natural-order decoder (see module
+        # docstring): channel i's reliability is the recursion's output at
+        # the bit-reversed index
+        pe = gaussian_pe(N, K, design_snr_db)[bit_reversal_permutation(N)]
+        order = np.argsort(pe, kind="stable")
     else:
         raise ValueError(f"Unsupported construction method: {method}")
 
@@ -107,6 +139,7 @@ def frozen_mask(N: int, info_set: np.ndarray) -> np.ndarray:
 
 
 __all__ = [
+    "bit_reversal_permutation",
     "construct_info_set",
     "frozen_mask",
     "gaussian_pe",

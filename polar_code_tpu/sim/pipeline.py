@@ -71,7 +71,8 @@ def make_fer_chunk(
     from ..ops.backend import resolve_backend
 
     decode_backend = resolve_backend(
-        backend, batch=batch, M=M, dtype=dtype, multi_device=multi
+        backend, batch=batch, M=M, dtype=dtype, multi_device=multi,
+        N=N, K=K,
     )
 
     def chunk(key, noise_var_coded, noise_var_uncoded):
@@ -170,7 +171,8 @@ def make_ber_chunk(
 
     if scheme != "nr_ldpc":
         decode_backend = resolve_backend(
-            backend, batch=batch, M=M, dtype=dtype, multi_device=multi
+            backend, batch=batch, M=M, dtype=dtype, multi_device=multi,
+            N=N, K=(K_payload + K_crc),
         )
     else:
         # the fused NMS kernel needs the circulant structure (bg, Z)

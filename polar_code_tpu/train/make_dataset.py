@@ -43,10 +43,10 @@ def _make_oracle_chunk(
     C = min(int(compact), B) if compact else 0
 
     _decode_full = make_scl_decoder(
-        info_np, M, cfg.crc_poly, batch=B, dtype=jnp.float32
+        info_np, M, cfg.crc_poly, batch=B, dtype=jnp.float32, N=cfg.N
     )
     _decode_chunk = (
-        make_scl_decoder(info_np, M, cfg.crc_poly, batch=C, dtype=jnp.float32)
+        make_scl_decoder(info_np, M, cfg.crc_poly, batch=C, dtype=jnp.float32, N=cfg.N)
         if C
         else _decode_full
     )

@@ -16,6 +16,9 @@ CONFIGS = [
     (32, 24, 8, "0x17", 1.5, 3),
     (64, 40, 4, "0x1864CFB", 2.5, 4),
     (64, 13, 2, "0x17", 6.0, 5),
+    # larger-than-reference codes (5G-realistic sizes); loop-form schedule
+    (256, 140, 2, "0x17", 2.0, 6),
+    (512, 280, 1, "0x1864CFB", 2.0, 7),
 ]
 
 

@@ -50,3 +50,54 @@ def test_construct_info_set_validation():
         construct_info_set(128, 0)
     with pytest.raises(ValueError):
         construct_info_set(128, 64, method="bogus")
+
+
+def test_gaussian_bitrev_construction():
+    """The corrected DEGA ordering (see construct.py module docstring).
+
+    Properties checked: (a) the bit-reversal permutation is an involution,
+    (b) the corrected set nearly coincides with the β-expansion
+    polarization weights at every size (they are independent constructions
+    of the same natural-order reliabilities — the reference ordering
+    increasingly diverges from both), (c) the most/least reliable channels
+    are where natural-order polarization puts them.
+    """
+
+    from polar_code_tpu.polar.construct import (
+        bit_reversal_permutation,
+        polarization_weights,
+    )
+
+    for n_size in (128, 256, 512, 1024):
+        rev = bit_reversal_permutation(n_size)
+        np.testing.assert_array_equal(rev[rev], np.arange(n_size))
+
+        k_size = n_size // 2
+        fixed = construct_info_set(n_size, k_size, method="gaussian_bitrev")
+        pw = np.sort(
+            np.argsort(-polarization_weights(n_size), kind="stable")[:k_size]
+        )
+        overlap = len(np.intersect1d(np.asarray(fixed), pw))
+        # two independent reliability orderings: ≥99% agreement (measured
+        # 63/64, 127/128, 254/256, 507/512; the reference ordering only
+        # reaches 194/256 at N=512)
+        assert overlap >= int(0.98 * k_size), (n_size, overlap)
+        assert n_size - 1 in np.asarray(fixed)
+        assert 0 not in np.asarray(fixed)
+
+
+def test_kernel_vmem_estimate_gates_backend():
+    from polar_code_tpu.ops.scl_pallas import (
+        VMEM_BUDGET_BYTES,
+        kernel_vmem_bytes,
+    )
+
+    # the flagship config fits comfortably; N=1024 M=8 cannot (≈18 MB of
+    # scratch against ~16 MB of VMEM) and must route to the XLA decoder
+    assert kernel_vmem_bytes(128, 64, 8) <= VMEM_BUDGET_BYTES
+    assert kernel_vmem_bytes(512, 280, 8) <= VMEM_BUDGET_BYTES
+    assert kernel_vmem_bytes(1024, 512, 8) > VMEM_BUDGET_BYTES
+    # monotone in every argument
+    assert kernel_vmem_bytes(256, 128, 4) < kernel_vmem_bytes(512, 128, 4)
+    assert kernel_vmem_bytes(256, 128, 4) < kernel_vmem_bytes(256, 128, 8)
+    assert kernel_vmem_bytes(256, 128, 4, 128) < kernel_vmem_bytes(256, 128, 4, 256)
