@@ -47,7 +47,9 @@ _BIG = 3.0e38
 
 
 def _kernel_body(
-    # scalar prefetch
+    # scalar prefetch: per-(phase, level) tables ride FLAT (1-D, indexed
+    # phase*(n+1)+level — SMEM pads 2-D minor dims to 128); dummies under
+    # full_unroll (schedule baked into the program)
     glevel_ref, store_ref, frozen_ref, infoidx_ref, llrlive_ref, bitlive_ref,
     # inputs
     llr_ref,   # [N, BT] bit-rev-permuted channel LLRs
@@ -59,7 +61,8 @@ def _kernel_body(
     state_ref,               # [L, 2(N−1), BT] f32 (llr rows ‖ edge-bit rows)
     pm_ref,                  # [L, BT] f32
     conv_ref,                # [L, mem, BT] f32 shift registers
-    tparent_ref, tbit_ref,   # [Kp, L, BT] f32 traces
+    tidx_ref,                # [Kp, L, BT] f32 trace 2·parent+v packed
+                             # (dim-0 dynamic indexing stays slab-aligned)
     cbits_ref,               # [Kp, L, BT] f32 reconstructed candidates
     curidx_ref,              # [L, BT] f32
     *,
@@ -132,7 +135,7 @@ def _kernel_body(
 
     def propagate(phase, cur0, smax=None):
         for s in range((n if smax is None else smax), 0, -1):
-            @pl.when(store_ref[phase, s] == 1)
+            @pl.when(store_ref[phase * (n + 1) + s] == 1)
             def _(s=s):
                 cur = cur0
                 for level in range(n, s, -1):
@@ -229,11 +232,11 @@ def _kernel_body(
         else:
             cond_levels = [l for l in range(1, n + 1) if (N >> l) >= 16]
             for level in cond_levels:
-                @pl.when(llrlive_ref[phase, level] == 1)
+                @pl.when(llrlive_ref[phase * (n + 1) + level] == 1)
                 def _(level=level):
                     gather_rows(off[level], off[level] + (N >> level))
 
-                @pl.when(bitlive_ref[phase, level] == 1)
+                @pl.when(bitlive_ref[phase * (n + 1) + level] == 1)
                 def _(level=level):
                     gather_rows(SB + off[level], SB + off[level] + (N >> level))
             tail = cond_levels[-1] + 1 if cond_levels else 1
@@ -259,8 +262,10 @@ def _kernel_body(
             v_bits.append(v)
             edges.append(base_rows[m] + v - 2.0 * base_rows[m] * v)
 
-        tparent_ref[pl.ds(i, 1)] = jnp.concatenate(parents, axis=0)[None]
-        tbit_ref[pl.ds(i, 1)] = jnp.concatenate(v_bits, axis=0)[None]
+        # parent and v-bit pack losslessly as 2p+v ∈ [0, 2L) in f32
+        tidx_ref[pl.ds(i, 1)] = (
+            2.0 * jnp.concatenate(parents, axis=0) + jnp.concatenate(v_bits, axis=0)
+        )[None]
 
         conv_shift(jnp.concatenate(v_bits, axis=0))
         store_fn(jnp.concatenate(edges, axis=0)[:, None, :])
@@ -376,14 +381,15 @@ def _kernel_body(
 
     def bt_body(t, _):
         i = Kp - 1 - t
-        tb = tbit_ref[pl.ds(i, 1)][0]
-        tp = tparent_ref[pl.ds(i, 1)][0]
+        tx = tidx_ref[pl.ds(i, 1)][0]  # [L, BT] packed 2p+v
         newcur = []
         brow = []
         for r in range(L):
             ci = curidx_ref[r : r + 1, :]
-            brow.append(_select_m(tb, ci))
-            newcur.append(_select_m(tp, ci))
+            x = _select_m(tx, ci)
+            p = jnp.floor(x * 0.5)
+            brow.append(x - 2.0 * p)
+            newcur.append(p)
         cbits_ref[pl.ds(i, 1)] = jnp.concatenate(brow, axis=0)[None]
         curidx_ref[...] = jnp.concatenate(newcur, axis=0)
 
@@ -448,6 +454,13 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
         packed_sort=packed_sort, pair_unroll=pair_unroll,
         static_tables=static_tables,
     )
+    if full_unroll:
+        prefetch = (np.zeros(1, np.int32),) * 6
+    else:
+        prefetch = (
+            glevel, store.reshape(-1), frozen, infoidx,
+            llr_live.reshape(-1), bit_live.reshape(-1),
+        )
     n_state = 2 * (N - 1)
 
     def run(llr_perm_t):
@@ -467,9 +480,8 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
                 pltpu.VMEM((L, n_state, BT), jnp.float32),
                 pltpu.VMEM((L, BT), jnp.float32),
                 pltpu.VMEM((L, max(mem, 1), BT), jnp.float32),
-                pltpu.VMEM((Kp, L, BT), jnp.float32),
-                pltpu.VMEM((Kp, L, BT), jnp.float32),
-                pltpu.VMEM((Kp, L, BT), jnp.float32),
+                pltpu.VMEM((Kp, L, BT), jnp.float32),  # tidx (2·parent+v)
+                pltpu.VMEM((Kp, L, BT), jnp.float32),  # cbits
                 pltpu.VMEM((L, BT), jnp.float32),
             ],
         )
@@ -482,8 +494,7 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
             ],
             interpret=interpret,
         )(
-            jnp.asarray(glevel), jnp.asarray(store), jnp.asarray(frozen),
-            jnp.asarray(infoidx), jnp.asarray(llr_live), jnp.asarray(bit_live),
+            *(jnp.asarray(p) for p in prefetch),
             llr_perm_t, jnp.asarray(Hc_perm),
         )
         return bits_t, pass_t, out_order, perm

@@ -272,10 +272,11 @@ def _kernel_body(
     bstate_ref,   # [M, N−1, BT] partial-sum rows; 0/1 values, so bf16 is
                   # exact and halves the clone-gather bytes (`bit_dtype`)
     pm_ref,       # [M, BT] f32 path metrics
-    tidx_ref,     # [K·M, BT] f32 trace: creation index 2·parent+bit, rows
-                  # i·M+m (flat — a [K, M, BT] buffer pads M to 8 sublanes,
-                  # wasting up to 8× for small lists)
-    tleaf_ref,    # [K·M, BT] f32 trace: leaf LLR by *parent* slot
+    tidx_ref,     # [K, M, BT] f32 trace: creation index 2·parent+bit
+                  # (parent + chosen bit packed in one plane; dim-0 dynamic
+                  # indexing keeps every access slab-aligned — flat [K·M]
+                  # rows fail Mosaic's sublane-alignment check for M<8)
+    tleaf_ref,    # [K, M, BT] f32 trace: leaf LLR by *parent* slot
     cbits_ref,    # [K, M, BT] f32 reconstructed candidate bits
     cllrs_ref,    # [K, M, BT] f32 reconstructed candidate LLRs
     curidx_ref,   # [M, BT] f32 backtrack cursor
@@ -499,8 +500,8 @@ def _kernel_body(
         # traces (leaf is indexed by the *old* slot = parent); parent and
         # bit pack losslessly as the creation index 2p+b ∈ [0, 2M) in f32
         if "traces" not in _ABLATE:
-            tidx_ref[pl.ds(i * M, M)] = 2.0 * par_all + bit_all
-            tleaf_ref[pl.ds(i * M, M)] = leaf[:, 0, :]
+            tidx_ref[pl.ds(i, 1)] = (2.0 * par_all + bit_all)[None]
+            tleaf_ref[pl.ds(i, 1)] = leaf[:, 0, :][None]
 
         store_fn(bit_all.reshape(M, 1, BT))
 
@@ -616,8 +617,8 @@ def _kernel_body(
 
     def bt_body(t, _):
         i = K - 1 - t
-        tx = tidx_ref[pl.ds(i * M, M)]  # [M, BT] creation indices 2p+b
-        tl = tleaf_ref[pl.ds(i * M, M)]
+        tx = tidx_ref[pl.ds(i, 1)][0]  # [M, BT] creation indices 2p+b
+        tl = tleaf_ref[pl.ds(i, 1)][0]
         newcur = []
         brow = []
         lrow = []
@@ -710,10 +711,10 @@ def _build_kernel_for(
         pltpu.VMEM((M, n_state, BT), jnp.float32),
         pltpu.VMEM((M, n_state, BT), bit_dtype),
         pltpu.VMEM((M, BT), jnp.float32),
-        pltpu.VMEM((K * M, BT), jnp.float32),  # tidx (flat: no M→8 padding)
-        pltpu.VMEM((K * M, BT), jnp.float32),  # tleaf
-        pltpu.VMEM((K, M, BT), jnp.float32),   # cbits (M-padded: the CRC
-        pltpu.VMEM((K, M, BT), jnp.float32),   # cllrs  pass slices per-cand)
+        pltpu.VMEM((K, M, BT), jnp.float32),  # tidx (2·parent+bit packed)
+        pltpu.VMEM((K, M, BT), jnp.float32),  # tleaf
+        pltpu.VMEM((K, M, BT), jnp.float32),  # cbits
+        pltpu.VMEM((K, M, BT), jnp.float32),  # cllrs
         pltpu.VMEM((M, BT), jnp.float32),
     ]
 
@@ -745,8 +746,10 @@ def _build_kernel_for(
 
 
 # v5e VMEM is ~16 MiB/core; leave headroom for Mosaic temporaries and the
-# double-buffered input/output blocks the pipeline keeps in flight.
-VMEM_BUDGET_BYTES = 13 * 2**20
+# double-buffered input/output blocks the pipeline keeps in flight.  The
+# largest config measured working on-chip is P(1024,512) M=4 at BT=128
+# (estimate ≈14.0 MB); N=1024 M=8 (≈18 MB) fails and must route to XLA.
+VMEM_BUDGET_BYTES = int(14.5 * 2**20)
 
 
 def kernel_vmem_bytes(
@@ -770,8 +773,7 @@ def kernel_vmem_bytes(
     b = M * pad(n_state) * BT * 4                   # LLR planes
     b += M * pad(n_state, bit_pad) * BT * bit_isz   # partial-sum planes
     b += 2 * pad(M) * BT * 4                        # pm + curidx
-    b += 2 * pad(K * M) * BT * 4                    # tidx + tleaf traces
-    b += 2 * K * pad(M) * BT * 4                    # cbits + cllrs
+    b += 4 * K * pad(M) * BT * 4                    # tidx/tleaf/cbits/cllrs
     # input/output blocks: llr [N, BT], forced [K, BT], bits/llrs [K, BT],
     # pass [1, BT], CRC matrix [deg, K]
     b += (pad(N) + 3 * pad(K) + pad(1)) * BT * 4
