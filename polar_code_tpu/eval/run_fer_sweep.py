@@ -46,7 +46,13 @@ def run_sweep(args: argparse.Namespace) -> None:
     coord = is_coordinator()
     say = print if coord else (lambda *a, **k: None)
 
-    info_set = construct_info_set(cfg.N, cfg.K)
+    if getattr(args, "N", None):
+        cfg.N = args.N
+    if getattr(args, "K", None):
+        cfg.K = args.K
+    info_set = construct_info_set(
+        cfg.N, cfg.K, method=getattr(args, "construction", "gaussian")
+    )
 
     snr_points = (
         np.arange(args.snr_lo, args.snr_hi + 1e-9, args.snr_step)
@@ -203,6 +209,13 @@ def _plot(results: List[Dict[str, float]], plot_path: Path, include_uncoded: boo
 def build_argparser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Run FER sweep for DL-SCL")
     parser.add_argument("--M", type=int, required=True, help="List size")
+    parser.add_argument("--N", type=int, help="Code length (default: config, 128)")
+    parser.add_argument("--K", type=int, help="Info+CRC bits (default: config, 64)")
+    parser.add_argument(
+        "--construction", type=str, default="gaussian",
+        choices=["gaussian", "gaussian_bitrev", "polarization"],
+        help="Info-set construction (use gaussian_bitrev/polarization for N>128)",
+    )
     parser.add_argument("--frames", type=int, default=10000, help="Frames per SNR point")
     parser.add_argument("--snr_lo", type=float, default=4.0)
     parser.add_argument("--snr_hi", type=float, default=6.5)

@@ -24,7 +24,7 @@ import numpy as np
 from .. import config
 from ..channel import awgn_llr, noise_var_coded
 from ..ops.crc import attach_crc
-from ..polar.api import encode
+from ..ops.polar_transform import encode_batch
 from ..polar.construct import construct_info_set
 from ..utils.seeding import fold_key, make_key, seed_all
 
@@ -52,7 +52,12 @@ def _make_oracle_chunk(
     )
     payload = np.zeros(cfg.K - cfg.crc_bits, dtype=np.int8)
     info_bits = attach_crc(payload, cfg.crc_poly)
-    code = encode(info_bits)
+    # encode with THIS chunk's (N, info_set) — the scalar polar.api.encode
+    # is pinned to the default P(128,64) config
+    code = np.asarray(
+        encode_batch(jnp.asarray(info_bits.astype(np.int8))[None], info_np, cfg.N)[0],
+        dtype=np.int8,
+    )
     symbols = jnp.asarray(1.0 - 2.0 * code.astype(np.float32))
     info_vec = jnp.asarray(info_bits.astype(np.int32))
     pos = jnp.arange(K)[None, :]
@@ -135,11 +140,16 @@ def generate_samples(args: argparse.Namespace) -> None:
     import jax
 
     cfg = config.get_config()
+    if getattr(args, "N", None):
+        cfg.N = args.N
+    if getattr(args, "K", None):
+        cfg.K = args.K
+    construction = getattr(args, "construction", "gaussian")
     from ..utils.cache import enable_compilation_cache
 
     seed_all(args.seed)
     enable_compilation_cache()
-    info_set = construct_info_set(cfg.N, cfg.K)
+    info_set = construct_info_set(cfg.N, cfg.K, method=construction)
     noise_var = noise_var_coded(args.snr_db, cfg.K, cfg.N)
 
     from ..ops.backend import auto_compact_capacity
@@ -190,6 +200,9 @@ def generate_samples(args: argparse.Namespace) -> None:
         "EbN0_dB": args.snr_db,
         "seed": args.seed,
         "frames": args.frames,
+        "N": cfg.N,
+        "K": cfg.K,
+        "construction": construction,
         "crc_poly": cfg.crc_poly,
         "crc_bits": cfg.crc_bits,
         "samples": int(label_array.size),
@@ -207,6 +220,13 @@ def generate_samples(args: argparse.Namespace) -> None:
 def build_argparser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Generate DL-SCL flip dataset")
     parser.add_argument("--M", type=int, required=True, help="SCL list size")
+    parser.add_argument("--N", type=int, help="Code length (default: config, 128)")
+    parser.add_argument("--K", type=int, help="Info+CRC bits (default: config, 64)")
+    parser.add_argument(
+        "--construction", type=str, default="gaussian",
+        choices=["gaussian", "gaussian_bitrev", "polarization"],
+        help="Info-set construction (use gaussian_bitrev/polarization for N>128)",
+    )
     parser.add_argument("--snr_db", type=float, default=5.0, help="AWGN Eb/N0 in dB")
     parser.add_argument("--frames", type=int, default=100000, help="Number of frames to simulate")
     parser.add_argument("--seed", type=int, default=0, help="RNG seed")

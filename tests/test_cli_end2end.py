@@ -75,3 +75,46 @@ def test_fer_sweep_headers_without_uncoded(tmp_path):
     csv_path = tmp_path / "results" / "fer_M1.csv"
     lines = csv_path.read_text().strip().splitlines()
     assert lines[0] == "snr_db,fer_scl,ber_scl,fer_dl,ber_dl"
+
+
+def test_pipeline_end2end_custom_code(tmp_path):
+    """The DL-SCL workload generalizes beyond the reference's fixed
+    P(128,64): dataset → β train → FER sweep at P(64,32) with the
+    corrected construction (no reference counterpart for --N/--K)."""
+
+    data_prefix = tmp_path / "data" / "train_M2_n64"
+    make_dataset.main([
+        "--M", "2", "--N", "64", "--K", "32",
+        "--construction", "gaussian_bitrev",
+        "--snr_db", "1.0", "--frames", "192",
+        "--seed", "0", "--out", str(data_prefix), "--batch", "64",
+    ])
+    shard = data_prefix.parent / f"{data_prefix.name}_part0.npz"
+    data = np.load(shard)
+    assert data["abs_l0"].shape[1] == 32  # K, not the default 64
+    import json
+
+    meta = json.loads(str(data["meta"]))
+    assert meta["N"] == 64 and meta["K"] == 32
+    assert meta["construction"] == "gaussian_bitrev"
+
+    train_beta.main([
+        "--M", "2", "--data", str(shard), "--epochs", "1",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    beta = np.load(tmp_path / "ckpt" / "beta_M2.npy")
+    assert beta.shape == (32, 32)  # dim follows the dataset
+
+    run_fer_sweep.main([
+        "--M", "2", "--N", "64", "--K", "32",
+        "--construction", "gaussian_bitrev",
+        "--frames", "128", "--snr_lo", "4.0", "--snr_hi", "4.0",
+        "--retries", "2", "--beta", str(tmp_path / "ckpt" / "beta_M2.npy"),
+        "--out_dir", str(tmp_path / "results"),
+        "--plot_dir", str(tmp_path / "plots"), "--batch", "64",
+    ])
+    lines = (tmp_path / "results" / "fer_M2.csv").read_text().strip().splitlines()
+    assert lines[0] == "snr_db,fer_scl,ber_scl,fer_dl,ber_dl"
+    vals = lines[1].split(",")
+    assert 0.0 <= float(vals[3]) <= float(vals[1]) <= 1.0
