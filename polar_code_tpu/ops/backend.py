@@ -9,10 +9,11 @@ decoder (`ops/scl.py`).
 
 from __future__ import annotations
 
-
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 PALLAS_BLOCK = 128
 
@@ -33,8 +34,8 @@ def resolve_backend(
     M: int,
     dtype,
     multi_device: bool = False,
-    N: int = None,
-    K: int = None,
+    N: Optional[int] = None,
+    K: Optional[int] = None,
 ) -> str:
     """Return "pallas" or "xla" for a decode of the given shape.
 
@@ -71,7 +72,7 @@ def resolve_backend(
 
 def make_scl_decoder(
     info_np, M: int, crc, *, batch: int, dtype, backend: str = "auto",
-    N: int = None,
+    N: Optional[int] = None,
 ):
     """Shared kernel/XLA dispatch: returns `decode(llr[, forced]) ->
     (best_path_bits, best_path_info_llrs, crc_pass)` for the given shape.
@@ -80,8 +81,6 @@ def make_scl_decoder(
     Pallas-eligible (an explicit "pallas" request for an ineligible batch
     still raises, from `resolve_backend`).  Pass the code length `N` so
     auto-selection can also check the kernel's VMEM budget."""
-
-    import numpy as np
 
     which = resolve_backend(
         backend, batch=batch, M=M, dtype=dtype, N=N,
