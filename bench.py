@@ -26,7 +26,9 @@ REF_CPU_M8_FPS = 4.73  # reference decode_scl, M=8, P(128,64), 1 CPU thread
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=65536)
+    # measured plateau on v5e: 65536 → 2.55M fps, 131072 → 2.69M,
+    # 262144 → 2.81M, 524288+ → flat (~2.80M); 262144 is the knee
+    parser.add_argument("--batch", type=int, default=262144)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--M", type=int, default=8)
     parser.add_argument("--snr_db", type=float, default=5.0)

@@ -74,7 +74,11 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
 
     bg = None
     if args.scheme == "polar_scl":
-        params_label = f"M={args.M}"
+        params_label = (
+            f"M={args.M},adaptive_from={args.adaptive_from}"
+            if args.adaptive_from
+            else f"M={args.M}"
+        )
     elif args.scheme == "dl_scl":
         params_label = f"M={args.M},retries={args.retries}"
     elif args.scheme == "nr_polar_scl":
@@ -104,6 +108,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
         ldpc_bg=bg,
         ldpc_Z=args.Z if args.scheme == "nr_ldpc" else None,
         compact=args.compact,
+        adaptive_from=args.adaptive_from,
     )
     root_key = make_key(args.seed)
 
@@ -229,6 +234,13 @@ def parse_args(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
     )
     parser.add_argument("--crc_poly", type=str, default=global_config.DEFAULTS.crc_poly)
     parser.add_argument("--M", type=int, default=4, help="List size for polar decoders")
+    parser.add_argument(
+        "--adaptive_from", type=int, default=0,
+        help="polar_scl only: two-stage adaptive decode — first pass at "
+        "this list size, CRC failures re-decoded at --M (legacy "
+        "simulator.py:111-116 semantics, device-side compaction). 0 = off. "
+        "avg_work reports the re-decoded fraction.",
+    )
     parser.add_argument("--retries", type=int, default=8, help="Retries for DL-SCL")
     parser.add_argument("--beta", type=str, help="Path to beta matrix (DL-SCL)")
     parser.add_argument("--ilv_mode", type=str, default="default")

@@ -155,15 +155,24 @@ def make_ber_chunk(
     ldpc_bg=None,
     ldpc_Z: Optional[int] = None,
     compact: int = 0,
+    adaptive_from: int = 0,
 ):
     """Build the jitted unified-BER-sweep chunk: (key, σ²) → counters.
 
     Reproduces the scheme dispatch and payload-only BER / avg_work
     accounting of `eval/run_ber_sweep.py:112-181`.
+
+    adaptive_from > 0 (polar_scl only): two-stage adaptive decoding —
+    first pass at that list size, CRC failures re-decoded at M
+    (`ops/adaptive.py`); avg_work becomes the re-decoded fraction.
     """
 
     if scheme not in {"polar_scl", "dl_scl", "nr_polar_scl", "nr_ldpc"}:
         raise ValueError(f"Unsupported scheme: {scheme}")
+    if adaptive_from and scheme != "polar_scl":
+        raise ValueError("--adaptive_from is only supported for polar_scl")
+    if adaptive_from and K_crc == 0:
+        raise ValueError("adaptive decoding needs a CRC (K_crc > 0)")
     beta_arr = jnp.asarray(beta, dtype) if beta is not None else None
     info_np = np.asarray(info_set) if info_set is not None else None
     multi = mesh is not None and len(mesh.devices.flat) > 1
@@ -208,7 +217,17 @@ def make_ber_chunk(
         llr = shard_frames(llr, mesh)
 
         if scheme == "polar_scl":
-            if decode_backend == "pallas":
+            if adaptive_from:
+                from ..ops.adaptive import decode_scl_adaptive
+
+                res = decode_scl_adaptive(
+                    llr, info_np, adaptive_from, M, crc_poly, dtype=dtype,
+                    backend=backend,
+                    capacity=_resolve_compact(compact, multi, batch),
+                )
+                candidate = res["best_path_bits"][:, :K_payload]
+                work = res["second_stage"].astype(jnp.float32)
+            elif decode_backend == "pallas":
                 from ..ops.scl_pallas import decode_scl_pallas
 
                 candidate = decode_scl_pallas(llr, info_np, M, crc_poly)[

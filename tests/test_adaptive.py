@@ -1,0 +1,97 @@
+"""Two-stage adaptive SCL (`ops/adaptive.py`).
+
+Semantics under test: per frame, the stage-1 (M_first) result is kept iff
+its CRC passes; otherwise the frame gets the plain M_final decode's result
+(frames are independent, so the compacted chunk decode is a permutation of
+the same per-frame decodes).  Mirrors the legacy simulator's adaptive
+two-stage decoding (`/root/reference/simulator.py:111-116`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from polar_code_tpu.ops.adaptive import decode_scl_adaptive
+from polar_code_tpu.ops.scl import decode_scl_batch
+from polar_code_tpu.polar.construct import construct_info_set
+
+N, K = 64, 32
+CRC = "0x17"
+M1, M2 = 1, 4
+
+
+@pytest.fixture(scope="module")
+def info_set():
+    return construct_info_set(N, K)
+
+
+def _expected(llr, info_set):
+    r1 = decode_scl_batch(llr, info_set, M1, CRC, dtype=jnp.float32)
+    r2 = decode_scl_batch(llr, info_set, M2, CRC, dtype=jnp.float32)
+    keep1 = np.asarray(r1.crc_pass)[:, None]
+    return {
+        "bits": np.where(keep1, np.asarray(r1.best_path_bits), np.asarray(r2.best_path_bits)),
+        "llrs": np.where(keep1, np.asarray(r1.best_path_info_llrs), np.asarray(r2.best_path_info_llrs)),
+        "crc_pass": np.asarray(r1.crc_pass) | np.asarray(r2.crc_pass),
+        "second_stage": ~np.asarray(r1.crc_pass),
+    }
+
+
+@pytest.mark.parametrize("capacity", [0, 3, 8, 64])
+def test_adaptive_matches_per_frame_definition(info_set, capacity):
+    # noisy LLRs: a mix of stage-1 passes and failures
+    rng = np.random.default_rng(0)
+    llr = jnp.asarray(rng.normal(0, 2.0, size=(24, N)), jnp.float32)
+    out = decode_scl_adaptive(
+        llr, info_set, M1, M2, CRC, capacity=capacity, backend="xla"
+    )
+    exp = _expected(llr, info_set)
+    assert np.asarray(out["second_stage"]).any(), "fixture too easy"
+    assert not np.asarray(out["second_stage"]).all(), "fixture too hard"
+    np.testing.assert_array_equal(np.asarray(out["best_path_bits"]), exp["bits"])
+    np.testing.assert_array_equal(np.asarray(out["crc_pass"]), exp["crc_pass"])
+    np.testing.assert_array_equal(np.asarray(out["second_stage"]), exp["second_stage"])
+    np.testing.assert_allclose(
+        np.asarray(out["best_path_info_llrs"]), exp["llrs"], rtol=0, atol=0
+    )
+
+
+def test_adaptive_all_pass_and_all_fail(info_set):
+    # near-noiseless zero codeword: every frame passes at M_first
+    clean = jnp.full((8, N), 50.0, jnp.float32)
+    out = decode_scl_adaptive(clean, info_set, M1, M2, CRC, capacity=4, backend="xla")
+    assert not np.asarray(out["second_stage"]).any()
+    assert np.asarray(out["crc_pass"]).all()
+
+    # pure noise: (almost) everything hits the second stage — a CRC-4
+    # false positive at stage 1 is possible and must be kept (legacy
+    # semantics), so assert per-frame equality rather than all()
+    rng = np.random.default_rng(1)
+    noise = jnp.asarray(rng.normal(0, 0.3, size=(8, N)), jnp.float32)
+    out = decode_scl_adaptive(noise, info_set, M1, M2, CRC, capacity=4, backend="xla")
+    exp = _expected(noise, info_set)
+    assert np.asarray(out["second_stage"]).sum() >= 6
+    np.testing.assert_array_equal(np.asarray(out["second_stage"]), exp["second_stage"])
+    np.testing.assert_array_equal(np.asarray(out["best_path_bits"]), exp["bits"])
+
+
+def test_adaptive_requires_crc(info_set):
+    llr = jnp.zeros((4, N), jnp.float32)
+    with pytest.raises(ValueError):
+        decode_scl_adaptive(llr, info_set, 1, 4, None)
+
+
+def test_ber_sweep_adaptive_cli(tmp_path):
+    from polar_code_tpu.eval import run_ber_sweep
+
+    out = tmp_path / "ber.csv"
+    args = run_ber_sweep.parse_args([
+        "--scheme", "polar_scl", "--K_payload", "4", "--K_crc", "4",
+        "--E", "16", "--crc_poly", "0x17", "--M", "4", "--adaptive_from", "1",
+        "--EbN0_lo", "2", "--EbN0_hi", "2", "--bits_cap", "2048",
+        "--err_cap", "50", "--batch", "64", "--out", str(out),
+    ])
+    (row,) = run_ber_sweep.run(args)
+    assert row["params"] == "M=4,adaptive_from=1"
+    # avg_work is the re-decoded fraction: strictly between 0 and 1 at 2 dB
+    assert 0.0 < float(row["avg_work"]) < 1.0

@@ -93,3 +93,21 @@ def test_kernel_bf16_bit_planes_bit_identical(info_set, M):
         np.testing.assert_array_equal(
             np.asarray(bf16[key]), np.asarray(f32[key]), err_msg=key
         )
+
+
+def test_sc_equals_m1_kernel_without_crc(info_set):
+    """sc_decode_batch's auto backend routes through the M=1 no-CRC kernel
+    (ops/sc.py): the two must be the same function, including ties (the
+    exact metric picks bit = (llr < 0) at every info leaf, 0 at llr == 0)."""
+
+    from polar_code_tpu.ops.sc import sc_decode_batch
+
+    rng = np.random.default_rng(11)
+    B = 8
+    llr = rng.normal(0, 3, size=(B, 128)).astype(np.float32)
+    llr[0, int(np.asarray(info_set)[3])] = 0.0  # exercise the tie case
+    xla = sc_decode_batch(jnp.asarray(llr), info_set, backend="xla")
+    kern = decode_scl_pallas(
+        jnp.asarray(llr), info_set, 1, None, block_batch=B, interpret=True
+    )["best_path_bits"]
+    np.testing.assert_array_equal(np.asarray(kern), np.asarray(xla))

@@ -43,8 +43,11 @@ def main() -> None:
 
     rows = []
 
-    t = timed(jax.jit(lambda x: sc_decode_batch(x, info_set)), llr)
+    t = timed(jax.jit(lambda x: sc_decode_batch(x, info_set, backend="xla")), llr)
     rows.append(("SC decode (XLA)", "—", f"{t*1e3:.1f}", f"{B/t:,.0f}"))
+
+    t = timed(jax.jit(lambda x: sc_decode_batch(x, info_set)), llr)
+    rows.append(("SC decode (auto: M=1 kernel)", "—", f"{t*1e3:.1f}", f"{B/t:,.0f}"))
 
     for M in (1, 2, 4, 8):
         tk = timed(
