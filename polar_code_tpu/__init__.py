@@ -30,6 +30,7 @@ def __getattr__(name):
         "decode_scl_batch": ("polar_code_tpu.ops.scl", "decode_scl_batch"),
         "decode_scl_pallas": ("polar_code_tpu.ops.scl_pallas", "decode_scl_pallas"),
         "sc_decode_batch": ("polar_code_tpu.ops.sc", "sc_decode_batch"),
+        "decode_scl_adaptive": ("polar_code_tpu.ops.adaptive", "decode_scl_adaptive"),
         "decode_with_retries_batch": ("polar_code_tpu.dlscl.flip", "decode_with_retries_batch"),
         "SymmetricBeta": ("polar_code_tpu.dlscl.beta", "SymmetricBeta"),
         "encode_batch": ("polar_code_tpu.ops.polar_transform", "encode_batch"),
@@ -45,6 +46,7 @@ def __getattr__(name):
 __all__ = [
     "config",
     "construct_info_set",
+    "decode_scl_adaptive",
     "decode_scl_batch",
     "decode_scl_pallas",
     "sc_decode_batch",

@@ -43,31 +43,24 @@ def sc_decode_batch(
     info_set: np.ndarray,
     *,
     dtype=jnp.float32,
-    backend: str = "auto",
 ) -> jnp.ndarray:
     """Decode a batch of channel LLRs.  llr: [B, N] → info bits [B, K] int8.
 
-    backend="auto" routes eligible f32 TPU batches through the fused SCL
-    kernel at M=1 without CRC — the identical function (same min-sum f /
-    exact g, same tie behavior: the exact metric picks bit=(llr<0) at
-    every info leaf), measured ~5× the trace-unrolled XLA graph
-    (3.4 vs 16.7 ms per 8192 frames of P(128,64) on v5e).  "xla" forces
-    the always-available graph (used by the float64 parity path)."""
+    NB (measured negative result): routing this through the fused SCL
+    kernel at M=1 without CRC computes the identical function (same
+    min-sum f / exact g, same tie behavior — see
+    `test_sc_equals_m1_kernel_without_crc`) but is NOT faster: with
+    output-transfer excluded, the trace-unrolled XLA graph measures
+    3.26 ms vs the kernel's 3.57 ms per 8192 frames of P(128,64) on v5e
+    (an earlier "5×" reading was the [B, K] output transfer through the
+    tunnel dominating both, not device time).  XLA fuses the straight-line
+    SC chain well on its own; the kernel's advantage is list machinery,
+    which M=1 doesn't exercise."""
 
     B, N = int(llr.shape[0]), int(llr.shape[1])
     n = int(math.log2(N))
     if 1 << n != N:
         raise ValueError("N must be a power of two")
-
-    if backend != "xla":
-        from .backend import resolve_backend
-
-        K = int(np.asarray(info_set).size)
-        if resolve_backend(backend, batch=B, M=1, dtype=dtype, N=N, K=K) == "pallas":
-            from .scl_pallas import decode_scl_pallas
-
-            return decode_scl_pallas(llr, info_set, 1, None)["best_path_bits"]
-
     frozen = _frozen_mask(N, info_set)
 
     u_leaves: List[jnp.ndarray] = [None] * N  # each [1, B] int8

@@ -96,9 +96,10 @@ def test_kernel_bf16_bit_planes_bit_identical(info_set, M):
 
 
 def test_sc_equals_m1_kernel_without_crc(info_set):
-    """sc_decode_batch's auto backend routes through the M=1 no-CRC kernel
-    (ops/sc.py): the two must be the same function, including ties (the
-    exact metric picks bit = (llr < 0) at every info leaf, 0 at llr == 0)."""
+    """The M=1 no-CRC kernel computes exactly sc_decode_batch, including
+    ties (the exact metric picks bit = (llr < 0) at every info leaf, 0 at
+    llr == 0) — the invariant behind the documented negative result in
+    ops/sc.py (routing SC through the kernel is equivalent, not faster)."""
 
     from polar_code_tpu.ops.sc import sc_decode_batch
 
@@ -106,7 +107,7 @@ def test_sc_equals_m1_kernel_without_crc(info_set):
     B = 8
     llr = rng.normal(0, 3, size=(B, 128)).astype(np.float32)
     llr[0, int(np.asarray(info_set)[3])] = 0.0  # exercise the tie case
-    xla = sc_decode_batch(jnp.asarray(llr), info_set, backend="xla")
+    xla = sc_decode_batch(jnp.asarray(llr), info_set)
     kern = decode_scl_pallas(
         jnp.asarray(llr), info_set, 1, None, block_batch=B, interpret=True
     )["best_path_bits"]

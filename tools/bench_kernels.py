@@ -43,11 +43,10 @@ def main() -> None:
 
     rows = []
 
-    t = timed(jax.jit(lambda x: sc_decode_batch(x, info_set, backend="xla")), llr)
+    # reduce the [B, K] output on device: returning the full bit matrix
+    # makes the row measure the ~0.5 MB/step tunnel transfer, not decode
+    t = timed(jax.jit(lambda x: sc_decode_batch(x, info_set).sum()), llr)
     rows.append(("SC decode (XLA)", "—", f"{t*1e3:.1f}", f"{B/t:,.0f}"))
-
-    t = timed(jax.jit(lambda x: sc_decode_batch(x, info_set)), llr)
-    rows.append(("SC decode (auto: M=1 kernel)", "—", f"{t*1e3:.1f}", f"{B/t:,.0f}"))
 
     for M in (1, 2, 4, 8):
         tk = timed(
