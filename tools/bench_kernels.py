@@ -15,14 +15,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def timed(fn, *args, iters=8):
+def timed(fn, *args, iters=8, rounds=3):
     import jax
 
     jax.device_get(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.device_get(outs)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(rounds):  # min-of-rounds: tunnel timing noise is ±10-20%
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        jax.device_get(outs)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main() -> None:
@@ -38,7 +41,10 @@ def main() -> None:
     cfg = config.DEFAULTS
     info_set = construct_info_set(cfg.N, cfg.K)
     rng = np.random.default_rng(0)
-    B = 8192
+    # 64k frames/call: at B=8192 the ~3 ms/call tunnel dispatch overhead
+    # inflates kernel rows ~2× (e.g. M=8 reads 5.7 ms for ~2.7 ms of
+    # device time); 64k cuts the overhead share to ~3%
+    B = 65536
     llr = jnp.asarray(rng.normal(0, 5, size=(B, cfg.N)), jnp.float32)
 
     rows = []
@@ -68,7 +74,7 @@ def main() -> None:
     out = Path("results/bench_kernels.md")
     with out.open("w") as f:
         f.write(
-            "# Kernel benchmarks (one v5e chip, B=8192, P(128,64), CRC-24A)\n\n"
+            f"# Kernel benchmarks (one v5e chip, B={B}, P(128,64), CRC-24A)\n\n"
             "Pipelined timing: 8 dispatches per sync (amortizes host/tunnel\n"
             "latency).  Reference CPU baseline: 4.73 frames/s at M=8.\n\n"
             "| stage | cfg | ms/batch | frames/s |\n|---|---|---|---|\n"
