@@ -782,11 +782,15 @@ def kernel_vmem_bytes(
 
 
 def _default_block(M: int, B: int, N: int = 128, K: int = 64) -> int:
-    """Measured-best batch tile per list size (v5e): small M is phase-loop
-    bound and profits from wider tiles; M=8's VMEM prefers 128.  Tiles that
-    would exceed the VMEM budget at this (N, K, M) are skipped."""
+    """Measured-best batch tile per list size (v5e, device-time resolution
+    at 64k frames/call — dispatch-overhead-dominated 8k-batch timings had
+    favored wider tiles): M≤2 is phase-loop bound and profits from wider
+    tiles (M=1: 12.7M/s at BT=512 vs 9.3M at 128; M=2: 9.2M vs 8.1M);
+    M≥4 is clone/sort bound and wants BT=128 (M=4: 5.56M/s at 128 vs
+    4.50M at 256; M=8: 2.71M vs 1.52M).  Tiles that would exceed the VMEM
+    budget at this (N, K, M) are skipped."""
 
-    prefs = {1: (512, 256, 128), 2: (512, 256, 128), 4: (256, 128)}.get(M, (128,))
+    prefs = {1: (512, 256, 128), 2: (512, 256, 128)}.get(M, (128,))
     for bt in prefs:
         if B % bt == 0 and kernel_vmem_bytes(N, K, M, bt) <= VMEM_BUDGET_BYTES:
             return bt
