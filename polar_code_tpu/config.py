@@ -30,6 +30,24 @@ class PolarConfig:
 DEFAULTS = PolarConfig()
 
 
+def validate_code_shape(N: int, K: int, crc_bits: int) -> None:
+    """Validate CLI --N/--K overrides against the configured CRC width.
+
+    K must leave a positive payload after the CRC parity bits (24 for the
+    default CRC-24A), and N must be a power of two > K — otherwise the
+    failure surfaces much later as an obscure shape error inside the
+    decoder/dataset pipeline."""
+
+    if K <= crc_bits:
+        raise ValueError(
+            f"K={K} must exceed the CRC width ({crc_bits} parity bits for "
+            "the configured polynomial): payload size K - crc_bits must be "
+            "positive"
+        )
+    if N <= K or N & (N - 1):
+        raise ValueError(f"N={N} must be a power of two greater than K={K}")
+
+
 def get_config() -> PolarConfig:
     """Return a copy of the default configuration."""
 

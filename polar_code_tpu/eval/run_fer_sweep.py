@@ -50,6 +50,7 @@ def run_sweep(args: argparse.Namespace) -> None:
         cfg.N = args.N
     if getattr(args, "K", None):
         cfg.K = args.K
+    config.validate_code_shape(cfg.N, cfg.K, cfg.crc_bits)
     info_set = construct_info_set(
         cfg.N, cfg.K, method=getattr(args, "construction", "gaussian")
     )

@@ -11,8 +11,13 @@ inside a ``lax.while_loop`` (the compaction scheme of
 Per frame the result equals: stage-1 output if its CRC passed, else the
 stage-2 (``M_final``) output — decided per frame, so it is NOT identical to
 plain SCL-``M_final``: a frame whose ``M_first`` decode passes CRC with a
-wrong codeword keeps it (exactly the legacy semantics; such undetected
-errors are already counted as frame errors by both).
+wrong codeword keeps it.  Note the trigger differs from the legacy code on
+exactly that case: `simulator.py:111-116` re-decodes on a *genie*
+ground-truth comparison (``pcf.fails(message, decoded) > 0``), so a stage-1
+undetected error (CRC passes, wrong codeword) is re-decoded — and possibly
+corrected — by the legacy code but kept here.  The CRC trigger is the
+practical (implementable-without-genie) variant of the two-stage scheme;
+FER can differ by at most the stage-1 undetected-error rate.
 
 Throughput: at Eb/N0 where most frames pass at ``M_first`` the cost
 approaches the ``M_first`` kernel's (v5e, P(128,64): M=1 3.4 ms vs M=8

@@ -72,19 +72,21 @@ def resolve_backend(
 
 def make_scl_decoder(
     info_np, M: int, crc, *, batch: int, dtype, backend: str = "auto",
-    N: Optional[int] = None,
+    N: int,
 ):
     """Shared kernel/XLA dispatch: returns `decode(llr[, forced]) ->
     (best_path_bits, best_path_info_llrs, crc_pass)` for the given shape.
 
     Falls back to the XLA decoder whenever the batch/backend is not
     Pallas-eligible (an explicit "pallas" request for an ineligible batch
-    still raises, from `resolve_backend`).  Pass the code length `N` so
-    auto-selection can also check the kernel's VMEM budget."""
+    still raises, from `resolve_backend`).  `N` is required so
+    auto-selection always checks the kernel's VMEM budget (over-budget
+    shapes, e.g. N=1024 M=8 in f32 traces, must route to XLA rather than
+    fail the Mosaic compile)."""
 
     which = resolve_backend(
         backend, batch=batch, M=M, dtype=dtype, N=N,
-        K=int(np.asarray(info_np).size) if N is not None else None,
+        K=int(np.asarray(info_np).size),
     )
 
     def decode(llr, forced=None):

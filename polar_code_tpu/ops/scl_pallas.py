@@ -374,6 +374,8 @@ def _kernel_body(
 
     def frozen_leaf(leaf, store_fn):
         # frozen: extend every path with 0
+        if "frozen" in _ABLATE:
+            return
         pen = _softplus(-leaf[:, 0, :])  # [M, BT]
         pm_ref[...] = pm_ref[...] + pen
         store_fn(jnp.zeros((M, 1, BT), jnp.float32))
@@ -393,8 +395,12 @@ def _kernel_body(
         # one softplus chain instead of M single-sublane ones.
         lf = leaf[:, 0, :]  # [M, BT]
         base = pm_ref[...]
-        c0a = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, base + _softplus(-lf))
-        c1a = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, base + _softplus(lf))
+        if "forkmath" in _ABLATE:  # attribution: candidate-metric math only
+            c0a = base
+            c1a = base + 1.0
+        else:
+            c0a = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, base + _softplus(-lf))
+            c1a = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, base + _softplus(lf))
         if packed_sort:
             # 2M candidates packed as [c0 rows | c1 rows]; the creation
             # index rides as a value, so row position is free
@@ -850,6 +856,15 @@ def decode_scl_pallas(
         full_unroll = not interpret and N <= 128
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
+    need = kernel_vmem_bytes(N, K, M, block_batch, bit_dtype)
+    if not interpret and need > VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"SCL kernel state for N={N} K={K} M={M} block_batch={block_batch} "
+            f"needs ~{need / 2**20:.1f} MB VMEM > budget "
+            f"{VMEM_BUDGET_BYTES / 2**20:.1f} MB; use the XLA decoder "
+            "(ops.scl.decode_scl_batch) or backend='auto' dispatch "
+            "(ops.backend.make_scl_decoder), or reduce block_batch/M"
+        )
 
     run = _build_kernel_for(
         tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret,

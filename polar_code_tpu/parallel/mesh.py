@@ -55,15 +55,39 @@ def shard_frames(x, mesh: Optional[Mesh], axis: int = 0):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
-# env markers of managed-cluster runtimes that JAX's own auto-detection
-# (jax._src.clusters: SLURM, OpenMPI, k8s, GCE/GKE TPU pods) understands
-_CLUSTER_MARKERS = (
-    "SLURM_JOB_ID",
-    "OMPI_COMM_WORLD_SIZE",
-    "KUBERNETES_SERVICE_HOST",
-    "TPU_WORKER_HOSTNAMES",
-    "MEGASCALE_COORDINATOR_ADDRESS",
-)
+def _cluster_markers_present() -> bool:
+    """True only when the environment indicates an actual MULTI-process
+    managed-cluster launch that JAX's auto-detection (jax._src.clusters:
+    SLURM, OpenMPI, k8s jobset, GCE/GKE TPU pods) can bootstrap.
+
+    Deliberately stricter than the detectors themselves: e.g. a plain
+    single-process pod sets ``KUBERNETES_SERVICE_HOST`` (which is enough to
+    trip jax's k8s detector, which then fails without a jobset index) —
+    requiring the multi-process evidence here keeps `maybe_distributed_init`
+    silent in ordinary single-process environments.
+    """
+
+    env = os.environ
+
+    def _int(name: str) -> int:
+        try:
+            return int(env.get(name, "0"))
+        except ValueError:
+            return 0
+
+    if "SLURM_JOB_ID" in env and _int("SLURM_NTASKS") > 1:
+        return True
+    if _int("OMPI_COMM_WORLD_SIZE") > 1:
+        return True
+    # k8s: jax's detector additionally needs an indexed-job completion index
+    if "KUBERNETES_SERVICE_HOST" in env and "JOB_COMPLETION_INDEX" in env:
+        return True
+    # TPU pod: multiple worker hostnames (comma-separated list)
+    if "," in env.get("TPU_WORKER_HOSTNAMES", ""):
+        return True
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    return False
 
 
 def maybe_distributed_init() -> bool:
@@ -93,7 +117,7 @@ def maybe_distributed_init() -> bool:
             process_id=int(pid) if pid else None,
         )
         _DIST_INITIALIZED = True
-    elif any(os.environ.get(m) for m in _CLUSTER_MARKERS):
+    elif _cluster_markers_present():
         try:
             jax.distributed.initialize()
             _DIST_INITIALIZED = True

@@ -173,6 +173,11 @@ def make_ber_chunk(
         raise ValueError("--adaptive_from is only supported for polar_scl")
     if adaptive_from and K_crc == 0:
         raise ValueError("adaptive decoding needs a CRC (K_crc > 0)")
+    if adaptive_from and adaptive_from >= M:
+        raise ValueError(
+            f"adaptive_from ({adaptive_from}) must be < M ({M}): the second "
+            "stage must use a strictly larger list than the first"
+        )
     beta_arr = jnp.asarray(beta, dtype) if beta is not None else None
     info_np = np.asarray(info_set) if info_set is not None else None
     multi = mesh is not None and len(mesh.devices.flat) > 1

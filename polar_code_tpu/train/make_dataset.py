@@ -144,6 +144,7 @@ def generate_samples(args: argparse.Namespace) -> None:
         cfg.N = args.N
     if getattr(args, "K", None):
         cfg.K = args.K
+    config.validate_code_shape(cfg.N, cfg.K, cfg.crc_bits)
     construction = getattr(args, "construction", "gaussian")
     from ..utils.cache import enable_compilation_cache
 

