@@ -21,9 +21,12 @@ import numpy as np
 from .. import config as global_config
 from ..nr.ldpc import build_h_matrix, load_base_graph
 from ..parallel.mesh import (
+    allgather_table_exact,
     frames_mesh,
     is_coordinator,
+    local_frames_mesh,
     maybe_distributed_init,
+    split_points,
     sync_processes,
 )
 from ..polar.construct import construct_info_set
@@ -96,8 +99,17 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
 
     beta = np.load(args.beta) if args.beta else None
 
-    n_dev = len(jax.devices())
-    mesh = frames_mesh() if n_dev > 1 else None
+    # Eb/N0-point split (multi-host): whole points assigned round-robin to
+    # processes, each running on its local devices; merged bit-exactly below.
+    snr_split = bool(getattr(args, "snr_split", False)) and jax.process_count() > 1
+    if snr_split and args.state:
+        raise ValueError("--state resume is not supported with --snr_split")
+    if snr_split:
+        n_dev = len(jax.local_devices())
+        mesh = local_frames_mesh()
+    else:
+        n_dev = len(jax.devices())
+        mesh = frames_mesh() if n_dev > 1 else None
     batch = max(n_dev, (args.batch // n_dev) * n_dev)
 
     chunk_fn = make_ber_chunk(
@@ -131,7 +143,10 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
     EbN0_values = np.arange(args.EbN0_lo, args.EbN0_hi + 1e-12, args.EbN0_step)
     rows: List[Dict[str, float]] = []
 
-    for point_idx, EbN0_dB in enumerate(EbN0_values):
+    my_indices = split_points(len(EbN0_values)) if snr_split else range(len(EbN0_values))
+    rows_by_idx: Dict[int, Dict[str, float]] = {}
+    for point_idx in my_indices:
+        EbN0_dB = EbN0_values[point_idx]
         cached = state.get(float(EbN0_dB))
         if cached is not None:
             rows.append(cached)
@@ -175,7 +190,28 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
             "avg_work": avg_work,
         }
         state.record(float(EbN0_dB), row)
+        rows_by_idx[point_idx] = row
         rows.append(row)
+
+    if snr_split:
+        # merge the numeric fields across processes (collective); the
+        # metadata columns are identical everywhere and rebuilt locally
+        fields = ["EbN0_dB", "bits_total", "bit_errors", "ber", "fer", "avg_work"]
+        table = np.zeros((len(EbN0_values), len(fields)), np.float64)
+        for pi, row in rows_by_idx.items():
+            table[pi] = [row[f] for f in fields]
+        table = allgather_table_exact(table)
+        rows = []
+        for i in range(len(EbN0_values)):
+            merged = dict(zip(fields, table[i]))
+            merged["bits_total"] = int(merged["bits_total"])
+            merged["bit_errors"] = int(merged["bit_errors"])
+            rows.append({
+                "scheme": args.scheme, "code": args.scheme, "N_or_E": args.E,
+                "K_payload": args.K_payload, "K_crc": args.K_crc,
+                "rate": args.K_payload / args.E, "params": params_label,
+                **merged,
+            })
     return rows
 
 
@@ -270,6 +306,12 @@ def parse_args(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
         "--compact", type=int, default=-1,
         help="Device-side retry compaction capacity for dl_scl (frames per "
              "retry chunk; 0 = masked full-batch retries)",
+    )
+    parser.add_argument(
+        "--snr_split", action="store_true",
+        help="Multi-host: assign whole Eb/N0 points to processes round-robin "
+             "(each on its local devices, no per-chunk DCN collectives); "
+             "rows are merged bit-exactly at the end. No-op single-process.",
     )
     args = parser.parse_args(list(argv) if argv is not None else None)
 

@@ -24,9 +24,12 @@ import numpy as np
 from .. import config
 from ..channel import noise_var_coded, noise_var_uncoded
 from ..parallel.mesh import (
+    allgather_table_exact,
     frames_mesh,
     is_coordinator,
+    local_frames_mesh,
     maybe_distributed_init,
+    split_points,
     sync_processes,
 )
 from ..polar.construct import construct_info_set
@@ -63,8 +66,20 @@ def run_sweep(args: argparse.Namespace) -> None:
 
     beta = np.load(args.beta) if args.beta else None
 
-    n_dev = len(jax.devices())
-    mesh = frames_mesh() if n_dev > 1 else None
+    # Eb/N0-point split (multi-host): each process simulates whole sweep
+    # points on its LOCAL devices (no per-chunk DCN collectives); rows are
+    # merged bit-exactly at the end.  Per-point keys fold only on the SNR
+    # tag and chunk index, so the merged CSV is byte-identical to an
+    # unsplit run at the same --batch.
+    snr_split = bool(getattr(args, "snr_split", False)) and jax.process_count() > 1
+    if snr_split and args.state:
+        raise ValueError("--state resume is not supported with --snr_split")
+    if snr_split:
+        n_dev = len(jax.local_devices())
+        mesh = local_frames_mesh()
+    else:
+        n_dev = len(jax.devices())
+        mesh = frames_mesh() if n_dev > 1 else None
     batch = min(args.batch, max(args.frames, 1))
     batch = max(n_dev, (batch // n_dev) * n_dev)
 
@@ -92,7 +107,10 @@ def run_sweep(args: argparse.Namespace) -> None:
     t_start = time.perf_counter()
     frames_done = 0
 
-    for snr_db in snr_points:
+    my_indices = split_points(len(snr_points)) if snr_split else range(len(snr_points))
+    rows_by_idx: Dict[int, Dict[str, float]] = {}
+    for point_idx in my_indices:
+        snr_db = snr_points[point_idx]
         cached = state.get(float(snr_db))
         if cached is not None:
             say(f"SNR={snr_db:.2f} dB -> resumed from state")
@@ -140,7 +158,19 @@ def run_sweep(args: argparse.Namespace) -> None:
                 f"DL FER={row['fer_dl']:.3e}, BER={row['ber_dl']:.3e}"
             )
         state.record(float(snr_db), row)
+        rows_by_idx[point_idx] = row
         results.append(row)
+
+    if snr_split:
+        # merge the distributed rows (collective: every process participates)
+        fields = ["snr_db", "fer_scl", "ber_scl", "fer_dl", "ber_dl"]
+        if args.include_uncoded:
+            fields += ["fer_uncoded", "ber_uncoded"]
+        table = np.zeros((len(snr_points), len(fields)), np.float64)
+        for pi, row in rows_by_idx.items():
+            table[pi] = [row[f] for f in fields]
+        table = allgather_table_exact(table)
+        results = [dict(zip(fields, table[i])) for i in range(len(snr_points))]
 
     elapsed = time.perf_counter() - t_start
     if elapsed > 0:
@@ -245,6 +275,13 @@ def build_argparser() -> argparse.ArgumentParser:
         help="Device-side retry compaction capacity (frames per retry chunk; "
              "0 = masked full-batch retries). Results are identical; big "
              "speedup at SNRs where baseline failures are rare",
+    )
+    parser.add_argument(
+        "--snr_split", action="store_true",
+        help="Multi-host: assign whole Eb/N0 points to processes round-robin "
+             "(each on its local devices, no per-chunk DCN collectives) "
+             "instead of sharding frames globally; rows are merged "
+             "bit-exactly at the end. No-op single-process.",
     )
     return parser
 

@@ -45,6 +45,51 @@ def frames_mesh(num_devices: Optional[int] = None) -> Mesh:
     return Mesh(devices, axis_names=("frames",))
 
 
+def local_frames_mesh() -> Optional[Mesh]:
+    """`frames` mesh over THIS process's local devices only (or None for 1).
+
+    Used by the Eb/N0-point-split sweep mode: each process simulates whole
+    sweep points independently on its local chips, so no per-chunk DCN
+    collectives are needed — only the final row merge."""
+
+    devices = jax.local_devices()
+    return Mesh(devices, axis_names=("frames",)) if len(devices) > 1 else None
+
+
+def split_points(n_points: int) -> list:
+    """Round-robin assignment of sweep-point indices to this process.
+
+    Deterministic in (process_index, process_count); with the per-point
+    key-folding discipline the owning process does not affect the result,
+    so a split run merges to the byte-identical table of an unsplit run."""
+
+    return list(range(jax.process_index(), n_points, jax.process_count()))
+
+
+def allgather_table_exact(table) -> "np.ndarray":
+    """Merge a per-process [rows, fields] float64 table across processes.
+
+    Each row is owned by exactly one process (zeros elsewhere).  The f64
+    payload is transported bit-exactly by viewing it as int32 pairs —
+    portable to TPU backends (no f64/x64 on device) and immune to float
+    rounding, so merged sweep CSVs are byte-identical to unsplit runs.
+    Single-process: returns the table unchanged."""
+
+    import numpy as np
+
+    table = np.ascontiguousarray(table, dtype=np.float64)
+    if jax.process_count() <= 1:
+        return table
+    from jax.experimental import multihost_utils
+
+    bits = table.view(np.int32)  # [rows, 2*fields] exact bit pattern
+    gathered = np.asarray(multihost_utils.process_allgather(bits))
+    # exactly one process contributes a nonzero row; the rest are 0.0
+    # (all-zero bit patterns), so an integer sum reconstructs each row
+    merged = gathered.sum(axis=0, dtype=np.int64).astype(np.int32)
+    return merged.view(np.float64).reshape(table.shape)
+
+
 def shard_frames(x, mesh: Optional[Mesh], axis: int = 0):
     """Constrain `x` to be sharded along its frame axis on `mesh`."""
 
@@ -168,7 +213,10 @@ def sync_processes(tag: str = "barrier") -> None:
 
 
 __all__ = [
+    "allgather_table_exact",
     "frames_mesh",
+    "local_frames_mesh",
+    "split_points",
     "shard_frames",
     "local_mesh_devices",
     "maybe_distributed_init",

@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--retries", type=int, default=2)
     ap.add_argument("--state", type=str, default=None)
+    ap.add_argument("--snr_split", action="store_true")
+    ap.add_argument("--snr_hi", type=float, default=2.0)
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -50,11 +52,12 @@ def main() -> None:
             "--batch", str(args.batch),
             "--retries", str(args.retries),
             "--snr_lo", "2.0",
-            "--snr_hi", "2.0",
-            "--snr_step", "0",
+            "--snr_hi", str(args.snr_hi),
+            "--snr_step", "0" if args.snr_hi <= 2.0 else "0.5",
             "--out_dir", args.out_dir,
             "--plot_dir", args.plot_dir,
             *(["--state", args.state] if args.state else []),
+            *(["--snr_split"] if args.snr_split else []),
         ]
     )
     sys.exit(0)

@@ -104,6 +104,54 @@ def test_two_process_sweep_matches_single_process(tmp_path):
     assert "Saved FER table" not in outs[1]
 
 
+@pytest.mark.slow
+def test_two_process_snr_split_matches_single_process(tmp_path):
+    """Eb/N0-point work splitting (`--snr_split`, SURVEY §2.3): two processes
+    each own one of the two sweep points, simulate it on their LOCAL devices,
+    and the merged CSV must be byte-identical to a single-process run of the
+    full grid (per-point key folding is process-independent)."""
+
+    single_dir = tmp_path / "single"
+    multi_dir = tmp_path / "multi"
+    grid = ["--snr_hi", "2.5"]  # two points: 2.0, 2.5 dB
+
+    p = _launch(grid, single_dir, tmp_path / "plots1", devices_per_proc=8)
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, f"single-process worker failed:\n{out}"
+
+    for attempt in range(2):
+        port = _free_port()
+        coord = f"127.0.0.1:{port}"
+        procs = [
+            _launch(
+                [
+                    "--process_id", str(pid),
+                    "--num_processes", "2",
+                    "--coordinator", coord,
+                    "--snr_split",
+                    *grid,
+                ],
+                multi_dir,
+                tmp_path / "plots2",
+                devices_per_proc=4,
+            )
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"snr-split worker failed:\n{out}"
+
+    single_csv = (single_dir / "fer_M1.csv").read_text()
+    multi_csv = (multi_dir / "fer_M1.csv").read_text()
+    assert single_csv.count("\n") == 3  # header + 2 points
+    assert multi_csv == single_csv  # bit-exact merge of split-owned rows
+
+
 def test_cluster_marker_fallback_is_graceful():
     """A cluster marker without a resolvable cluster must warn and fall back
     to single-process, not crash (maybe_distributed_init auto-detect path)."""
