@@ -61,3 +61,38 @@ def test_constellation_matches(ref_channel):
     ours = channel("QPSK", 4.0, "SNRb", 0.5)
     theirs = ref_channel("QPSK", 4.0, "SNRb", 0.5)
     np.testing.assert_allclose(ours.constell, theirs.constell, rtol=1e-12)
+
+
+@pytest.mark.parametrize("modu", ["BPSK", "QPSK"])
+def test_llr2_maxlog_matches(ref_channel, modu):
+    """Approx (min-distance) LLR variant — unused by reference drivers but
+    part of the channel API surface (reference channel.py:71-95)."""
+
+    rng = np.random.default_rng(2)
+    ours = channel(modu, 4.0, "SNRb", 0.5)
+    theirs = ref_channel(modu, 4.0, "SNRb", 0.5)
+    if modu == "BPSK":
+        y = rng.normal(size=24)
+    else:
+        y = rng.normal(size=12) + 1j * rng.normal(size=12)
+    np.testing.assert_allclose(
+        np.asarray(ours.calc_llr2(y)), np.asarray(theirs.calc_llr2(y)), rtol=1e-10
+    )
+
+
+def test_subconstells_and_llr2_underscore_match(ref_channel):
+    """Sub-constellation helpers (reference channel.py:122-148), replicated
+    verbatim including the reference's N0-on-imag-only quirk."""
+
+    rng = np.random.default_rng(3)
+    ours = channel("QPSK", 4.0, "SNRb", 0.5)
+    theirs = ref_channel("QPSK", 4.0, "SNRb", 0.5)
+    np.testing.assert_allclose(ours.subconstells, theirs.subconstells, rtol=1e-12)
+    y = complex(rng.normal(), rng.normal())
+    np.testing.assert_allclose(
+        np.asarray(ours.sum_num_denum(y)), np.asarray(theirs.sum_num_denum(y)),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.calc_llr2_(y)), np.asarray(theirs.calc_llr2_(y)), rtol=1e-10
+    )

@@ -11,6 +11,13 @@ def load(path, col_map):
 
 OURS_FRAMES = 638976 / 6  # ~106k per point (round up: frames per point in workflow)
 REF_FRAMES = {1: 3000, 2: 3000, 4: 2000, 8: 2000}
+
+# Re-adjudicated reference points: (M, snr) -> (fer, frames).  The shipped
+# artifacts ran only 2-3k frames; outliers are re-run at 10x the frames with
+# tools/revalidate_m2.py (same reference code, same seed recipe) — see
+# results_validation/ref_recheck_M*_*dB.txt.
+REF_RERUN = {(2, 5.5): (4.0433e-02, 30000)}
+
 print(f"{'M':>2} {'snr':>5} {'ours_scl':>10} {'ref_scl':>10} {'z':>6}")
 worst = 0.0
 for M in (1, 2, 4, 8):
@@ -20,7 +27,10 @@ for M in (1, 2, 4, 8):
         o, r = ours[snr]["fer_scl"], ref[snr]["fer_scl"]
         if r == 0 and o == 0:
             continue
-        se = math.sqrt(max(r*(1-r),1e-12)/REF_FRAMES[M] + max(o*(1-o),1e-12)/OURS_FRAMES)
+        ref_n = REF_FRAMES[M]
+        if (M, snr) in REF_RERUN:
+            r, ref_n = REF_RERUN[(M, snr)]
+        se = math.sqrt(max(r*(1-r),1e-12)/ref_n + max(o*(1-o),1e-12)/OURS_FRAMES)
         z = abs(o - r) / se
         worst = max(worst, z)
         flag = "" if z < 2.5 else "  <-- CHECK"
