@@ -18,6 +18,25 @@ Everything here is host-side table math; the output is the same
 `BaseGraph` consumed by `build_h_matrix`, the batched encoder and both NMS
 decoders, which already accept arbitrary circulant tables (exercised over
 random lifted graphs in `tests/test_ldpc_random_graphs.py`).
+
+Shift-table DATA availability (adjudicated, round 2): the real BG1/BG2
+tables are 316·8 and 197·8 published integers (TS 38.212 Tables 5.3.2-2/-3).
+They are NOT reconstructible from first principles (the values came from
+3GPP's offline girth/EXIT optimization, not a formula) and are not present
+anywhere in this offline environment — searched installed Python packages
+(no sionna/commpy/py5g; torch/transformers carry no FEC tables), /usr,
+/opt, and the reference tree (which ships only the 3×6 demo graph,
+`dl_scl_polar/nr/ldpc/basegraphs.py:21-28`, same gap).  Writing them from
+memory would risk silently-wrong spec data, so the framework keeps the
+spec-correct machinery + `--bg_file` loader (format below) and, like the
+reference, uses the demo graph for its committed comparison artifacts.
+
+`--bg_file` CSV format: header `row,col,V0,V1,...,V7` (one shift column per
+iLS set) or `row,col,shift` (pre-reduced); one line per base-graph edge;
+-1 (or absence) = zero block.  Drop in the spec table and every downstream
+component (builder, encoder, both NMS decoders, the BER sweep arm) works
+unchanged — `load_base_graph_file` + `tests/test_nr_tables.py` cover both
+layouts.
 """
 
 from __future__ import annotations

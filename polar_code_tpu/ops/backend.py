@@ -49,9 +49,10 @@ def resolve_backend(
         return "xla"
     fits_vmem = True
     if N is not None and K is not None:
-        from .scl_pallas import VMEM_BUDGET_BYTES, kernel_vmem_bytes
+        from .scl_pallas import kernel_fit_dtype
 
-        fits_vmem = kernel_vmem_bytes(N, K, M, PALLAS_BLOCK) <= VMEM_BUDGET_BYTES
+        # auto-engages exact bf16 bit planes when f32 doesn't fit
+        fits_vmem = kernel_fit_dtype(N, K, M, PALLAS_BLOCK) is not None
     eligible = (
         (M & (M - 1)) == 0
         and M <= 8  # sort/clone networks sized (and measured) for M ≤ 8

@@ -276,13 +276,15 @@ def _kernel_body(
                   # (parent + chosen bit packed in one plane; dim-0 dynamic
                   # indexing keeps every access slab-aligned — flat [K·M]
                   # rows fail Mosaic's sublane-alignment check for M<8)
-    tleaf_ref,    # [K, M, BT] f32 trace: leaf LLR by *parent* slot
+    tleaf_ref,    # [K, M, BT] f32 trace: leaf LLR by *parent* slot; after
+                  # the selected-path LLR backtrack, slot 0 of each row
+                  # doubles as the llrs output staging (no cllrs plane)
     cbits_ref,    # [K, M, BT] f32 reconstructed candidate bits
-    cllrs_ref,    # [K, M, BT] f32 reconstructed candidate LLRs
     curidx_ref,   # [M, BT] f32 backtrack cursor
     *,
     N: int, M: int, K: int, use_crc: bool, bit_dtype=jnp.float32,
-    packed_sort: bool = True, pair_unroll: bool = True, static_tables=None,
+    packed_sort: bool = True, loop_unroll: int = 2, static_tables=None,
+    has_force: bool = True,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -298,8 +300,13 @@ def _kernel_body(
     brows = lrows  # same level layout, separate (bit) buffer
 
     # --- init ---------------------------------------------------------
-    state_ref[...] = jnp.zeros_like(state_ref)
-    bstate_ref[...] = jnp.zeros_like(bstate_ref)
+    # No zero-init of state/bstate: the SC schedule writes every LLR row
+    # (full f-descent at phase 0; f/g rewrite levels top-down thereafter)
+    # and every partial-sum row before its first semantic read (store at
+    # level l always precedes the g/combine that reads it).  Clone gathers
+    # may copy unwritten garbage rows, which is harmless — they are dead by
+    # the same liveness argument.  Skipping the init saves 2·M·(N−1)·BT·4
+    # bytes of VMEM writes per tile (~1 MB at N=128 M=8).
     slot = jax.lax.broadcasted_iota(jnp.int32, (M, BT), 0)
     pm_ref[...] = jnp.where(slot == 0, 0.0, _BIG)
 
@@ -336,21 +343,31 @@ def _kernel_body(
         parent = state_ref[:, lrows(level - 1), :]
         return parent[:, :half, :], parent[:, half:, :]
 
-    def _apply_f(level):
+    def _apply_f(level, ret=False):
+        # ret=True (leaf level, static schedules only): return the value
+        # instead of writing it — state[n] has no semantic reader besides
+        # the immediate leaf decision (llr_live[*, n] is always False), so
+        # threading it as a value removes a strided single-sublane VMEM
+        # write + read per phase.
         if "fg" in _ABLATE:
-            return
+            return jnp.zeros((M, N >> level, BT), jnp.float32) if ret else None
         a, b = _parent_halves(level)
         f = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
         if f.ndim == 2:
             f = jnp.broadcast_to(f, (M, N >> level, BT))
+        if ret:
+            return f
         state_ref[:, lrows(level), :] = f
 
-    def _apply_g(level):
+    def _apply_g(level, ret=False):
         if "fg" in _ABLATE:
-            return
+            return jnp.zeros((M, N >> level, BT), jnp.float32) if ret else None
         a, b = _parent_halves(level)
         c = bstate_ref[:, brows(level), :].astype(jnp.float32)
-        state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
+        g = b + (1.0 - 2.0 * c) * a
+        if ret:
+            return g
+        state_ref[:, lrows(level), :] = g
 
     def llr_update_branchy(phase, gmax):
         # LLR updates, specialized by the phase's g-level: one g at that
@@ -389,18 +406,29 @@ def _kernel_body(
         if "fork" in _ABLATE:
             store_fn(jnp.zeros((M, 1, BT), jnp.float32))
             return
-        fb = forced_ref[pl.ds(i, 1), :].astype(jnp.float32)  # [1, BT]
         # Candidate metrics computed on full [M, BT] vregs (the forced
         # mask broadcasts), then sliced into the sort network's rows —
-        # one softplus chain instead of M single-sublane ones.
+        # one softplus chain instead of M single-sublane ones; the two
+        # penalties share one exp/log1p: softplus(±x) = max(±x, 0) + t
+        # with t = log1p(exp(−|x|)).
         lf = leaf[:, 0, :]  # [M, BT]
         base = pm_ref[...]
         if "forkmath" in _ABLATE:  # attribution: candidate-metric math only
             c0a = base
             c1a = base + 1.0
         else:
-            c0a = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, base + _softplus(-lf))
-            c1a = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, base + _softplus(lf))
+            if "metric" in _ABLATE:
+                sp_neg = sp_pos = jnp.abs(lf)  # ablation stand-in
+            else:
+                t = jnp.log1p(jnp.exp(-jnp.abs(lf)))
+                sp_neg = jnp.maximum(-lf, 0.0) + t  # softplus(−lf)
+                sp_pos = jnp.maximum(lf, 0.0) + t   # softplus(+lf)
+            c0a = base + sp_neg
+            c1a = base + sp_pos
+            if has_force:
+                fb = forced_ref[pl.ds(i, 1), :].astype(jnp.float32)  # [1, BT]
+                c0a = jnp.where((fb != -1.0) & (fb != 0.0), _BIG, c0a)
+                c1a = jnp.where((fb != -1.0) & (fb != 1.0), _BIG, c1a)
         if packed_sort:
             # 2M candidates packed as [c0 rows | c1 rows]; the creation
             # index rides as a value, so row position is free
@@ -511,9 +539,12 @@ def _kernel_body(
 
         store_fn(bit_all.reshape(M, 1, BT))
 
-    def leaf_step(phase, store_fn):
+    def leaf_step(phase, store_fn, leaf=None):
         # Dynamic-phase leaf decision: dispatch frozen/info from SMEM.
-        leaf = state_ref[:, off[n] : off[n] + 1, :]  # [M, 1, BT]
+        # `leaf` is the threaded value when the phase's LLR update was
+        # static; dynamically-dispatched updates leave it in state[n].
+        if leaf is None:
+            leaf = state_ref[:, off[n] : off[n] + 1, :]  # [M, 1, BT]
         fz = frozen_ref[phase]
 
         @pl.when(fz == 1)
@@ -549,10 +580,14 @@ def _kernel_body(
 
         for phase in range(N):
             gl = int(stat_glevel[phase])
-            if gl > 0:
-                _apply_g(gl)
-            for level in range(gl + 1, n + 1):
-                _apply_f(level)
+            if gl == n:
+                leaf = _apply_g(n, ret=True)
+            else:
+                if gl > 0:
+                    _apply_g(gl)
+                for level in range(gl + 1, n):
+                    _apply_f(level)
+                leaf = _apply_f(n, ret=True)
 
             s_lvls = [s for s in range(1, n + 1) if stat_store[phase, s]]
             s = s_lvls[0] if s_lvls else None
@@ -567,7 +602,6 @@ def _kernel_body(
                     cur = jnp.concatenate([xor, cur], axis=1)
                 bstate_ref[:, brows(s), :] = cur
 
-            leaf = state_ref[:, off[n] : off[n] + 1, :]
             if stat_frozen[phase]:
                 frozen_leaf(leaf, store_fn)
             else:
@@ -576,27 +610,88 @@ def _kernel_body(
                     static_spans(stat_bit_live[phase]),
                 )
                 info_leaf(phase, int(stat_infoidx[phase]), leaf, store_fn, spans)
-    elif pair_unroll:
-        # Two phases per iteration, exploiting the even/odd structure of
-        # the schedule: every even phase stores its partial sums directly
-        # at the leaf level (no combine chain, no store branch), and every
-        # odd phase's LLR update is exactly one g at the leaf level (no
-        # g-level branch).  Halves loop iterations and branch dispatches.
-        def pair_body(t, _):
-            p0 = 2 * t
-            p1 = p0 + 1
-            llr_update_branchy(p0, n - 1)
-            leaf_step(p0, store_even)
-            _apply_g(n)
-            leaf_step(p1, lambda cur0: propagate(p1, cur0, smax=n - 1))
+    elif loop_unroll > 1:
+        # U phases per iteration (U = 2^u, the partial-unroll family).  For
+        # p = U·t + j the low u bits of p equal j, so for every j except 0
+        # and U−1 the schedule is a compile-time constant: the g-level is
+        # n − ctz(j) and the partial-sum store level is n − trailing_ones(j)
+        # with a static combine chain.  Only two dynamic dispatch families
+        # remain per U phases — the block-leading phase's g-level (ctz ≥ u
+        # ⇒ level ≤ n−u) and the block-trailing phase's store level
+        # (trailing-ones run ≥ u ⇒ level ≤ n−u) — vs one per phase in the
+        # plain loop.  U=2 is the original (even, odd) pair unroll.
+        U = loop_unroll
+        u = U.bit_length() - 1
 
-        jax.lax.fori_loop(0, N // 2, pair_body, None)
+        def u_body(t, _):
+            base = U * t
+            llr_update_branchy(base, n - u)
+            leaf_step(base, store_even)
+            for j in range(1, U):
+                p = base + j
+                gl = n - ((j & -j).bit_length() - 1)  # static: ctz(j) < u
+                if gl == n:
+                    leaf = _apply_g(n, ret=True)
+                else:
+                    _apply_g(gl)
+                    for level in range(gl + 1, n):
+                        _apply_f(level)
+                    leaf = _apply_f(n, ret=True)
+                if j == U - 1:
+                    # only the block-trailing phase's trailing-ones run can
+                    # cross into base's bits: store level stays dynamic
+                    leaf_step(
+                        p, lambda cur0, p=p: propagate(p, cur0, smax=n - u),
+                        leaf=leaf,
+                    )
+                else:
+                    ones = 0
+                    jj = j
+                    while jj & 1:
+                        ones += 1
+                        jj >>= 1
+                    if ones == 0:
+                        leaf_step(p, store_even, leaf=leaf)
+                    else:
+                        s = n - ones
+
+                        def store_static(cur0, s=s):
+                            if "propagate" in _ABLATE:
+                                return
+                            cur = cur0.astype(bit_dtype)
+                            for level in range(n, s, -1):
+                                left = bstate_ref[:, brows(level), :]
+                                xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
+                                cur = jnp.concatenate([xor, cur], axis=1)
+                            bstate_ref[:, brows(s), :] = cur
+
+                        leaf_step(p, store_static, leaf=leaf)
+
+        jax.lax.fori_loop(0, N // U, u_body, None)
     else:
         def phase_body(phase, _):
             llr_update_branchy(phase, n)
             leaf_step(phase, lambda cur0: propagate(phase, cur0))
 
         jax.lax.fori_loop(0, N, phase_body, None)
+
+    if M == 1:
+        # Single path: no sort, no backtrack — the parent is always slot 0,
+        # so the trace planes hold the answer directly (creation index
+        # 2·0+b = the bit itself; tleaf = the leaf LLRs in order).
+        best_bits = tidx_ref[:, 0, :]  # [K, BT]
+        done = jnp.zeros((1, BT), jnp.bool_)
+        if use_crc and "crc" not in _ABLATE:
+            syn = jax.lax.dot_general(
+                hc_ref[...], best_bits, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            syn = syn - 2.0 * jnp.floor(syn * 0.5)
+            done = jnp.max(syn, axis=0, keepdims=True) == 0.0
+        bits_ref[...] = best_bits.astype(jnp.int32)
+        pass_ref[...] = done.astype(jnp.int32)
+        llrs_ref[...] = tleaf_ref[:, 0, :]
+        return
 
     # --- final stable sort of the list by metric ----------------------
     if packed_sort:
@@ -606,6 +701,7 @@ def _kernel_body(
             fpm_a, fidx_a = _packed_sort(fpm_a, fidx_a)
         fpm = [fpm_a[m : m + 1, :] for m in range(M)]
         curidx_ref[...] = fidx_a
+        fidx_stack = fidx_a
     else:
         fpm = [pm_ref[m : m + 1, :] for m in range(M)]
         fidx = [jnp.full((1, BT), float(m), jnp.float32) for m in range(M)]
@@ -617,28 +713,29 @@ def _kernel_body(
             fpm[ib] = jnp.where(swap, pa, pb)
             fidx[ia] = jnp.where(swap, xb, xa)
             fidx[ib] = jnp.where(swap, xa, xb)
-        curidx_ref[...] = jnp.concatenate(fidx, axis=0)
+        fidx_stack = jnp.concatenate(fidx, axis=0)
+        curidx_ref[...] = fidx_stack
+    # pm_ref is no longer needed (metrics live in fpm): repurpose it to
+    # keep the final-sort path indices for the selected-path LLR backtrack
+    pm_ref[...] = fidx_stack
 
-    # --- backtrack all M candidates through the traces ----------------
+    # --- backtrack all M candidates' BITS through the traces ----------
+    # (LLR histories are NOT reconstructed per candidate: only the selected
+    # path's are needed, recovered by a second cheap backtrack below — this
+    # removes the [K, M, BT] cllrs plane and M·(M−1) selects per trace row)
 
     def bt_body(t, _):
         i = K - 1 - t
         tx = tidx_ref[pl.ds(i, 1)][0]  # [M, BT] creation indices 2p+b
-        tl = tleaf_ref[pl.ds(i, 1)][0]
         newcur = []
         brow = []
-        lrow = []
         for r in range(M):
             ci = curidx_ref[r : r + 1, :]
             x = _select_m(tx, ci)
             p = jnp.floor(x * 0.5)
-            b = x - 2.0 * p
-            l = _select_m(tl, p)
-            brow.append(b)
-            lrow.append(l)
+            brow.append(x - 2.0 * p)
             newcur.append(p)
         cbits_ref[pl.ds(i, 1)] = jnp.concatenate(brow, axis=0)[None]
-        cllrs_ref[pl.ds(i, 1)] = jnp.concatenate(lrow, axis=0)[None]
         curidx_ref[...] = jnp.concatenate(newcur, axis=0)
 
     if "backtrack" not in _ABLATE:
@@ -646,8 +743,8 @@ def _kernel_body(
 
     # --- CRC selection: first passing candidate, else best metric -----
     best_bits = cbits_ref[:, 0, :]  # [K, BT] (rank 0 fallback)
-    best_llrs = cllrs_ref[:, 0, :]
     done = jnp.zeros((1, BT), jnp.bool_)
+    sel = jnp.zeros((1, BT), jnp.float32)  # selected rank (0 fallback)
     if use_crc and "crc" not in _ABLATE:
         Hc_const = hc_ref[...]  # [deg, K]
         for r in range(M):
@@ -660,19 +757,38 @@ def _kernel_body(
             ok = (jnp.max(syn, axis=0, keepdims=True) == 0.0) & (fpm[r] < _BIG)
             take = ok & jnp.logical_not(done)
             best_bits = jnp.where(take, cand, best_bits)
-            best_llrs = jnp.where(take, cllrs_ref[:, r, :], best_llrs)
+            sel = jnp.where(take, float(r), sel)
             done = done | ok
 
     bits_ref[...] = best_bits.astype(jnp.int32)
-    llrs_ref[...] = best_llrs
     pass_ref[...] = done.astype(jnp.int32)
+
+    # --- selected-path LLR backtrack (replaces the cllrs plane) -------
+    # Walk the parent chain of the selected rank only, staging each leaf
+    # LLR into slot 0 of the (already-consumed) tleaf row — trace rows are
+    # read before being overwritten, descending in i.
+    cur0 = _select_m(pm_ref[...], sel)  # final-sort path index of `sel`
+
+    def llr_bt_body(t, cur):
+        i = K - 1 - t
+        tx = tidx_ref[pl.ds(i, 1)][0]
+        tl = tleaf_ref[pl.ds(i, 1)][0]
+        x = _select_m(tx, cur)
+        p = jnp.floor(x * 0.5)
+        l = _select_m(tl, p)
+        tleaf_ref[pl.ds(i, 1)] = jnp.broadcast_to(l, (M, BT))[None]
+        return p
+
+    if "backtrack" not in _ABLATE:
+        jax.lax.fori_loop(0, K, llr_bt_body, cur0)
+    llrs_ref[...] = tleaf_ref[:, 0, :]
 
 
 @functools.lru_cache(maxsize=32)
 def _build_kernel_for(
     info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int,
     interpret: bool, bit_dtype_name: str = "float32", packed_sort: bool = True,
-    pair_unroll: bool = True, full_unroll: bool = False,
+    loop_unroll: int = 2, full_unroll: bool = False, has_force: bool = True,
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
@@ -686,7 +802,8 @@ def _build_kernel_for(
     )
     kernel = functools.partial(
         _kernel_body, N=N, M=M, K=K, use_crc=crc is not None, bit_dtype=bit_dtype,
-        packed_sort=packed_sort, pair_unroll=pair_unroll, static_tables=static_tables,
+        packed_sort=packed_sort, loop_unroll=loop_unroll, static_tables=static_tables,
+        has_force=has_force,
     )
 
     if full_unroll:
@@ -705,7 +822,9 @@ def _build_kernel_for(
     )
     in_specs = [
         pl.BlockSpec((N, BT), lambda i, *_: (0, i)),
-        pl.BlockSpec((K, BT), lambda i, *_: (0, i)),
+        # un-forced decodes (the common sweep path) carry a 1-row dummy
+        # plan: no [K, BT] DMA per tile, no mask math at the forks
+        pl.BlockSpec((K if has_force else 1, BT), lambda i, *_: (0, i)),
         pl.BlockSpec(hc_arr.shape, lambda i, *_: (0, 0)),
     ]
     out_specs = [
@@ -718,9 +837,8 @@ def _build_kernel_for(
         pltpu.VMEM((M, n_state, BT), bit_dtype),
         pltpu.VMEM((M, BT), jnp.float32),
         pltpu.VMEM((K, M, BT), jnp.float32),  # tidx (2·parent+bit packed)
-        pltpu.VMEM((K, M, BT), jnp.float32),  # tleaf
+        pltpu.VMEM((K, M, BT), jnp.float32),  # tleaf (+ llrs staging)
         pltpu.VMEM((K, M, BT), jnp.float32),  # cbits
-        pltpu.VMEM((K, M, BT), jnp.float32),  # cllrs
         pltpu.VMEM((M, BT), jnp.float32),
     ]
 
@@ -779,12 +897,25 @@ def kernel_vmem_bytes(
     b = M * pad(n_state) * BT * 4                   # LLR planes
     b += M * pad(n_state, bit_pad) * BT * bit_isz   # partial-sum planes
     b += 2 * pad(M) * BT * 4                        # pm + curidx
-    b += 4 * K * pad(M) * BT * 4                    # tidx/tleaf/cbits/cllrs
+    b += 3 * K * pad(M) * BT * 4                    # tidx/tleaf/cbits
     # input/output blocks: llr [N, BT], forced [K, BT], bits/llrs [K, BT],
     # pass [1, BT], CRC matrix [deg, K]
     b += (pad(N) + 3 * pad(K) + pad(1)) * BT * 4
     b += pad(24) * pad(K, 128) * 4
     return b
+
+
+def kernel_fit_dtype(N: int, K: int, M: int, BT: int = 128):
+    """Bit-plane dtype that fits the VMEM budget at this shape: f32 (the
+    measured-fastest default), else bf16 (numerically EXACT for the 0/1
+    partial-sum planes, halving their footprint — how N=1024 M=8 fits),
+    else None (route to the XLA decoder)."""
+
+    if kernel_vmem_bytes(N, K, M, BT, jnp.float32) <= VMEM_BUDGET_BYTES:
+        return jnp.float32
+    if kernel_vmem_bytes(N, K, M, BT, jnp.bfloat16) <= VMEM_BUDGET_BYTES:
+        return jnp.bfloat16
+    return None
 
 
 def _default_block(M: int, B: int, N: int = 128, K: int = 64) -> int:
@@ -798,7 +929,7 @@ def _default_block(M: int, B: int, N: int = 128, K: int = 64) -> int:
 
     prefs = {1: (512, 256, 128), 2: (512, 256, 128)}.get(M, (128,))
     for bt in prefs:
-        if B % bt == 0 and kernel_vmem_bytes(N, K, M, bt) <= VMEM_BUDGET_BYTES:
+        if B % bt == 0 and kernel_fit_dtype(N, K, M, bt) is not None:
             return bt
     return 128
 
@@ -812,9 +943,10 @@ def decode_scl_pallas(
     force_info_bits: Optional[jnp.ndarray] = None,
     block_batch: Optional[int] = None,
     interpret: bool = False,
-    bit_dtype=jnp.float32,
+    bit_dtype=None,
     packed_sort: Optional[bool] = None,
     pair_unroll: bool = True,
+    loop_unroll: Optional[int] = None,
     full_unroll: Optional[bool] = None,
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
@@ -831,6 +963,13 @@ def decode_scl_pallas(
     bit_dtype: storage dtype of the partial-sum planes.  They hold 0/1
     values only, so ``jnp.bfloat16`` is numerically EXACT (decisions are
     bit-identical to f32) while halving the bit-plane clone-gather bytes.
+    Default None = auto: f32 (measured fastest) unless the shape only fits
+    the VMEM budget at bf16 (e.g. N=1024 M=8), which then engages.
+
+    loop_unroll: phases per iteration of the (non-full-unroll) phase loop
+    (power of two).  All but two dispatch points per block are static —
+    see the kernel body.  Default: 2 when pair_unroll (the historical
+    pair-unrolled loop), else 1.
 
     llr: [B, N] (B must be a multiple of `block_batch`).  Returns
     {"best_path_bits" int8 [B, K], "best_path_info_llrs" f32 [B, K],
@@ -845,6 +984,8 @@ def decode_scl_pallas(
     K = int(info_np.size)
     if block_batch is None:
         block_batch = _default_block(M, B, N, K)
+    if bit_dtype is None:
+        bit_dtype = kernel_fit_dtype(N, K, M, block_batch) or jnp.float32
     if packed_sort is None:
         # measured: sublane-packed bitonic wins ~1-1.5% at M>=4 (16/8-row
         # networks); at M=1 the 2-row rolls cost more than row comparators
@@ -854,6 +995,10 @@ def decode_scl_pallas(
         # speedup at N=256 (13.34 vs 13.39 ms) for a ~10× compile cost —
         # the loop form's branch dispatch amortizes over the wider rows.
         full_unroll = not interpret and N <= 128
+    if loop_unroll is None:
+        loop_unroll = 2 if pair_unroll else 1
+    if loop_unroll < 1 or (loop_unroll & (loop_unroll - 1)) or loop_unroll > N:
+        raise ValueError("loop_unroll must be a power of two <= N")
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
     need = kernel_vmem_bytes(N, K, M, block_batch, bit_dtype)
@@ -866,15 +1011,17 @@ def decode_scl_pallas(
             "(ops.backend.make_scl_decoder), or reduce block_batch/M"
         )
 
+    has_force = force_info_bits is not None
     run = _build_kernel_for(
         tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret,
-        jnp.dtype(bit_dtype).name, packed_sort, pair_unroll, full_unroll,
+        jnp.dtype(bit_dtype).name, packed_sort, loop_unroll, full_unroll,
+        has_force,
     )
     llr_t = llr.T.astype(jnp.float32)  # [N, B]
-    if force_info_bits is None:
-        forced_t = jnp.full((K, B), -1, jnp.int32)
-    else:
+    if has_force:
         forced_t = force_info_bits.T.astype(jnp.int32)
+    else:
+        forced_t = jnp.zeros((1, B), jnp.int32)  # 1-row dummy, never read
     bits_t, llrs_t, pass_t = run(llr_t, forced_t)
     return {
         "best_path_bits": bits_t.T.astype(jnp.int8),
@@ -936,6 +1083,7 @@ def decode_scl_pallas_sharded(
 __all__ = [
     "decode_scl_pallas",
     "decode_scl_pallas_sharded",
+    "kernel_fit_dtype",
     "kernel_vmem_bytes",
     "VMEM_BUDGET_BYTES",
 ]

@@ -47,6 +47,34 @@ def test_kernel_matches_xla(info_set, M, use_crc, full_unroll):
     )
 
 
+@pytest.mark.parametrize("M", [1, 4])
+@pytest.mark.parametrize("loop_unroll", [1, 4, 8, 16, 32])
+def test_kernel_loop_unroll_matches_xla(info_set, M, loop_unroll):
+    """The partial-unroll loop family (U phases per iteration, static
+    schedule for all but the block-leading g and block-trailing store) must
+    be bit-identical to the XLA decoder for every unroll factor, including
+    U=1 (plain loop) and U=N (fully static within one iteration)."""
+
+    llr = _llrs(seed=21 + M)
+    ref = decode_scl_batch(llr, info_set, M, CRC, dtype=jnp.float32)
+    out = decode_scl_pallas(
+        llr, info_set, M, CRC, block_batch=B, interpret=True,
+        full_unroll=False, loop_unroll=loop_unroll,
+        pair_unroll=loop_unroll > 1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["best_path_bits"]), np.asarray(ref.best_path_bits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["crc_pass"]), np.asarray(ref.crc_pass)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["best_path_info_llrs"]),
+        np.asarray(ref.best_path_info_llrs),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_kernel_forced_plan_matches_xla(info_set):
     M = 4
     llr = _llrs(seed=9)
