@@ -38,14 +38,20 @@ def _resolve_base_graph(args: argparse.Namespace):
     """Demo graph by number (reference parity) or a real shift table by file.
 
     `--bg_file` loads a TS 38.212-style edge-list table (see
-    `nr/ldpc/nr_tables.py`) lifted at `--Z`; without it, `--bg` selects the
-    built-in demo graph exactly as the reference does."""
+    `nr/ldpc/nr_tables.py`) lifted at `--Z`; `--bg ira<m>x<n>` generates a
+    QC-IRA graph (`nr/ldpc/qc_ira.py` — a real waterfall, unlike the demo
+    graph); otherwise `--bg` selects the built-in demo graph exactly as
+    the reference does."""
 
     if getattr(args, "bg_file", None):
         from ..nr.ldpc.nr_tables import load_base_graph_file
 
         return load_base_graph_file(args.bg_file, args.Z)
-    return load_base_graph(args.bg)
+    if str(args.bg).startswith("ira"):
+        from ..nr.ldpc.qc_ira import make_qc_ira_bg, parse_ira_spec
+
+        return make_qc_ira_bg(*parse_ira_spec(str(args.bg)), args.Z)
+    return load_base_graph(int(args.bg))
 
 
 def _noise_var(EbN0_dB: float, payload_bits: int, coded_bits: int) -> float:
@@ -93,7 +99,10 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
         if k != K_total:
             raise ValueError("LDPC payload+CRC size mismatch with base graph")
         bg_label = args.bg_file or f"bg={args.bg}"
-        params_label = f"{bg_label},Z={args.Z},iter={args.max_iter},alpha={args.alpha}"
+        nms_label = ",exact_nms" if args.nms_exact else ""
+        params_label = (
+            f"{bg_label},Z={args.Z},iter={args.max_iter},alpha={args.alpha}{nms_label}"
+        )
     else:
         raise ValueError(f"Unsupported scheme: {args.scheme}")
 
@@ -119,6 +128,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
         H=H, max_iter=args.max_iter, alpha=args.alpha, batch=batch, mesh=mesh,
         ldpc_bg=bg,
         ldpc_Z=args.Z if args.scheme == "nr_ldpc" else None,
+        nms_exact=args.nms_exact,
         compact=args.compact,
         adaptive_from=args.adaptive_from,
     )
@@ -136,6 +146,7 @@ def run(args: argparse.Namespace) -> List[Dict[str, float]]:
             "beta": args.beta or "", "bg": args.bg,
             "bg_file": args.bg_file or "", "Z": args.Z,
             "max_iter": args.max_iter, "alpha": args.alpha,
+            "nms_exact": args.nms_exact,
         },
         writer=coord,
     )
@@ -280,7 +291,17 @@ def parse_args(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
     parser.add_argument("--retries", type=int, default=8, help="Retries for DL-SCL")
     parser.add_argument("--beta", type=str, help="Path to beta matrix (DL-SCL)")
     parser.add_argument("--ilv_mode", type=str, default="default")
-    parser.add_argument("--bg", type=int, default=2, help="LDPC base graph")
+    parser.add_argument(
+        "--nms_exact", action="store_true",
+        help="textbook two-min layered NMS (self-excluding extrinsics) "
+        "instead of the reference's shared-min simplification — required "
+        "for a meaningful LDPC waterfall (see nr/ldpc/decode_nms.py)",
+    )
+    parser.add_argument(
+        "--bg", type=str, default="2",
+        help="LDPC base graph: demo graph number (1/2, reference parity) or "
+        "'ira<m>x<n>' for a generated QC-IRA code (e.g. ira4x8)",
+    )
     parser.add_argument(
         "--bg_file", type=str, default=None,
         help="External LDPC shift table (edge-list CSV, per-iLS or single "

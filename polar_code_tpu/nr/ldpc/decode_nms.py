@@ -65,9 +65,20 @@ def decode_ldpc_nms_batch(
     alpha: float = 0.8,
     early_stop: bool = True,
     *,
+    self_exclude: bool = False,
     dtype=jnp.float32,
 ) -> dict:
-    """llr [B, n] → {"hard" [B, n] int8, "iters_used" [B], "parity_ok" [B]}."""
+    """llr [B, n] → {"hard" [B, n] int8, "iters_used" [B], "parity_ok" [B]}.
+
+    self_exclude=False (default) preserves the reference's simplification —
+    one shared α·∏sign·min message for every edge of a row, *including* the
+    edge's own contribution (`dl_scl_polar/nr/ldpc/decode_nms.py`).  That
+    self-reinforcement cripples the decoder (the demo graph's FER barely
+    leaves 1.0 below ~10 dB — the reference's own published curves show the
+    same).  self_exclude=True is textbook layered NMS: per-edge extrinsic
+    excluding the edge itself via a two-min (min1/min2) reduction, the
+    algorithm a real comparison arm needs (used by `--nms_exact` sweeps).
+    """
 
     H = (np.asarray(H) % 2).astype(np.int8)
     m, n = H.shape
@@ -75,19 +86,33 @@ def decode_ldpc_nms_batch(
         raise ValueError("llr length mismatch")
     B = int(llr.shape[0])
     idx_np, pad_np, layers = _prep(H.tobytes(), m, n)
+    deg_max = idx_np.shape[1]
     Hd = jnp.asarray(H, dtype)
 
     def one_iteration(llr_x, msg):
-        # llr_x: [B, n+1] (sentinel col n), msg: [B, m]
+        # llr_x: [B, n+1] (sentinel col n), msg: [B, m, deg]
         for rows in layers:
             cols = idx_np[rows]  # [L, deg] static
             pad = jnp.asarray(pad_np[rows])  # [L, deg]
-            ext = llr_x[:, cols] - msg[:, rows, None]  # [B, L, deg]
+            ext = llr_x[:, cols] - msg[:, rows]  # [B, L, deg]
             sgn = jnp.where(pad[None], 1.0, jnp.sign(ext))
             mag = jnp.where(pad[None], jnp.inf, jnp.abs(ext))
-            update = alpha * jnp.prod(sgn, axis=-1) * jnp.min(mag, axis=-1)  # [B, L]
-            llr_x = llr_x.at[:, cols].set(ext + update[..., None])
-            msg = msg.at[:, rows].set(update)
+            sprod = jnp.prod(sgn, axis=-1, keepdims=True)  # [B, L, 1]
+            if self_exclude:
+                amin = jnp.argmin(mag, axis=-1, keepdims=True)
+                is_min = jnp.arange(deg_max)[None, None] == amin
+                min1 = jnp.min(mag, axis=-1, keepdims=True)
+                min2 = jnp.min(
+                    jnp.where(is_min, jnp.inf, mag), axis=-1, keepdims=True
+                )
+                # per-edge: sign product / own sign, min over the others
+                update = alpha * (sprod * sgn) * jnp.where(is_min, min2, min1)
+            else:
+                update = (
+                    alpha * sprod * jnp.min(mag, axis=-1, keepdims=True)
+                ) * jnp.ones_like(ext)
+            llr_x = llr_x.at[:, cols].set(ext + update)
+            msg = msg.at[:, rows].set(jnp.where(pad[None], 0.0, update))
         return llr_x, msg
 
     def syndrome_ok(llr_x):
@@ -99,7 +124,7 @@ def decode_ldpc_nms_batch(
         llr_x, msg, done, iters_used = state
         new_llr, new_msg = one_iteration(llr_x, msg)
         llr_x = jnp.where(done[:, None], llr_x, new_llr)
-        msg = jnp.where(done[:, None], msg, new_msg)
+        msg = jnp.where(done[:, None, None], msg, new_msg)
         ok_now = syndrome_ok(llr_x)
         newly = ~done & ok_now if early_stop else jnp.zeros_like(done)
         iters_used = jnp.where(newly, it + 1, iters_used)
@@ -111,7 +136,7 @@ def decode_ldpc_nms_batch(
     )
     state = (
         llr_x,
-        jnp.zeros((B, m), dtype),
+        jnp.zeros((B, m, deg_max), dtype),
         jnp.zeros((B,), bool),
         jnp.full((B,), max_iter, jnp.int32),
     )
@@ -127,6 +152,7 @@ def decode_ldpc_nms(
     max_iter: int = 20,
     alpha: float = 0.8,
     early_stop: bool = True,
+    self_exclude: bool = False,
 ) -> dict:
     """Scalar reference-compatible API (1D llr)."""
 
@@ -135,7 +161,7 @@ def decode_ldpc_nms(
         raise ValueError("llr must be 1D")
     res = decode_ldpc_nms_batch(
         jnp.asarray(llr)[None], H, max_iter=max_iter, alpha=alpha,
-        early_stop=early_stop, dtype=jnp.float64,
+        early_stop=early_stop, self_exclude=self_exclude, dtype=jnp.float64,
     )
     return {
         "hard": np.asarray(res["hard"][0], dtype=np.int8),

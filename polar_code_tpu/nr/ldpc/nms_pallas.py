@@ -34,13 +34,14 @@ def _kernel_body(
     iters_ref, # [1, BT] i32 out
     ok_ref,    # [1, BT] i32 out
     llr_w,     # [n, BT] f32 scratch (working LLRs)
-    msg_w,     # [m, BT] f32 scratch (per-row shared message)
+    msg_w,     # [m, BT] (shared) or [E_b·Z, BT] (self-exclude) f32 scratch
     state_w,   # [2, BT] f32 scratch: row 0 = done, row 1 = iters_used
     *,
     shifts: Tuple[Tuple[int, ...], ...],
     Z: int,
     max_iter: int,
     alpha: float,
+    self_exclude: bool = False,
 ):
     mb = len(shifts)
     nb = len(shifts[0])
@@ -53,6 +54,15 @@ def _kernel_body(
 
     def blocks(r):
         return [(c, shifts[r][c]) for c in range(nb) if shifts[r][c] >= 0]
+
+    # self-exclude keeps one message plane per base-graph EDGE: static
+    # row offset of edge (r, c) into msg_w
+    edge_off = {}
+    off = 0
+    for r in range(mb):
+        for c, _ in blocks(r):
+            edge_off[(r, c)] = off
+            off += Z
 
     def syndrome_ok():
         # all-rows parity: XOR over each layer's rolled hard-decision blocks
@@ -71,25 +81,51 @@ def _kernel_body(
         done = state_w[0:1, :]  # [1, BT] (1.0 = frozen)
         for r in range(mb):
             exts = []
-            mrow = msg_w[r * Z : (r + 1) * Z, :]
+            mrows = []
             for c, s in blocks(r):
                 x = llr_w[c * Z : (c + 1) * Z, :]
+                o = edge_off[(r, c)] if self_exclude else r * Z
+                mrow = msg_w[o : o + Z, :]
                 ext = pltpu.roll(x, -s % Z, 0) - mrow
                 exts.append(ext)
+                mrows.append(mrow)
             sgn = None
-            mag = None
+            m1 = None  # elementwise smallest |ext| across the row's blocks
+            m2 = None  # elementwise second-smallest (= m1 on ties)
             for ext in exts:
                 es = jnp.sign(ext)
                 ea = jnp.abs(ext)
                 sgn = es if sgn is None else sgn * es
-                mag = ea if mag is None else jnp.minimum(mag, ea)
-            update = alpha * sgn * mag  # [Z, BT]
-            # frozen frames keep their llr/msg unchanged
-            new_msg = jnp.where(done > 0.0, mrow, update)
-            for ext, (c, s) in zip(exts, blocks(r)):
+                if m1 is None:
+                    m1 = ea
+                elif m2 is None:
+                    m2 = jnp.maximum(m1, ea)
+                    m1 = jnp.minimum(m1, ea)
+                else:
+                    m2 = jnp.minimum(m2, jnp.maximum(m1, ea))
+                    m1 = jnp.minimum(m1, ea)
+            for ext, mrow, (c, s) in zip(exts, mrows, blocks(r)):
+                if self_exclude and m2 is not None:
+                    # exclude the edge itself: the argmin edge sees m2, the
+                    # rest m1.  On ties m2 == m1, exactly the
+                    # leave-one-out min, so |ext| == m1 is a safe test.
+                    ea = jnp.abs(ext)
+                    update = (
+                        alpha
+                        * (sgn * jnp.sign(ext))
+                        * jnp.where(ea == m1, m2, m1)
+                    )
+                else:
+                    update = alpha * sgn * m1  # [Z, BT]
                 new_vals = jnp.where(done > 0.0, ext + mrow, ext + update)
                 llr_w[c * Z : (c + 1) * Z, :] = pltpu.roll(new_vals, s % Z, 0)
-            msg_w[r * Z : (r + 1) * Z, :] = new_msg
+                o = edge_off[(r, c)] if self_exclude else r * Z
+                if self_exclude:
+                    msg_w[o : o + Z, :] = jnp.where(done > 0.0, mrow, update)
+            if not self_exclude:
+                msg_w[r * Z : (r + 1) * Z, :] = jnp.where(
+                    done > 0.0, mrows[0], alpha * sgn * m1
+                )
 
         ok_now = syndrome_ok()  # [1, BT]
         newly = jnp.where((done == 0.0) & ok_now, 1.0, 0.0)
@@ -104,14 +140,20 @@ def _kernel_body(
 
 
 @functools.lru_cache(maxsize=16)
-def _build(shifts_key, Z: int, max_iter: int, alpha: float, BT: int, interpret: bool):
+def _build(
+    shifts_key, Z: int, max_iter: int, alpha: float, BT: int, interpret: bool,
+    self_exclude: bool = False,
+):
     shifts = shifts_key
     nb = len(shifts[0])
     mb = len(shifts)
     n, m = nb * Z, mb * Z
+    n_edges = sum(1 for row in shifts for v in row if v >= 0)
+    msg_rows = n_edges * Z if self_exclude else m
 
     kernel = functools.partial(
-        _kernel_body, shifts=shifts, Z=Z, max_iter=max_iter, alpha=alpha
+        _kernel_body, shifts=shifts, Z=Z, max_iter=max_iter, alpha=alpha,
+        self_exclude=self_exclude,
     )
 
     def run(llr_t):
@@ -132,7 +174,7 @@ def _build(shifts_key, Z: int, max_iter: int, alpha: float, BT: int, interpret: 
             ],
             scratch_shapes=[
                 pltpu.VMEM((n, BT), jnp.float32),
-                pltpu.VMEM((m, BT), jnp.float32),
+                pltpu.VMEM((msg_rows, BT), jnp.float32),
                 pltpu.VMEM((2, BT), jnp.float32),
             ],
             interpret=interpret,
@@ -148,16 +190,25 @@ def decode_ldpc_nms_pallas(
     max_iter: int = 20,
     alpha: float = 0.8,
     *,
+    self_exclude: bool = False,
     block_batch: int = 256,
     interpret: bool = False,
 ) -> dict:
-    """Fused-kernel layered NMS.  llr: [B, n] → same dict as the XLA path."""
+    """Fused-kernel layered NMS.  llr: [B, n] → same dict as the XLA path.
+
+    self_exclude=True is textbook two-min NMS (bit-identical to
+    `decode_ldpc_nms_batch(..., self_exclude=True)`): one message plane per
+    base-graph edge instead of per block-row, leave-one-out mins via an
+    elementwise (min1, min2) reduction across the row's rolled blocks."""
 
     B = int(llr.shape[0])
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
     shifts_key = tuple(tuple(int(v) for v in row) for row in np.asarray(base_graph.shifts))
-    run = _build(shifts_key, Z, max_iter, float(alpha), block_batch, interpret)
+    run = _build(
+        shifts_key, Z, max_iter, float(alpha), block_batch, interpret,
+        self_exclude,
+    )
     hard_t, iters_t, ok_t = run(llr.T.astype(jnp.float32))
     return {
         "hard": hard_t.T.astype(jnp.int8),

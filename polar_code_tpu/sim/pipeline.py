@@ -154,6 +154,7 @@ def make_ber_chunk(
     backend: str = "auto",
     ldpc_bg=None,
     ldpc_Z: Optional[int] = None,
+    nms_exact: bool = False,
     compact: int = 0,
     adaptive_from: int = 0,
 ):
@@ -261,11 +262,13 @@ def make_ber_chunk(
                 from ..nr.ldpc.nms_pallas import decode_ldpc_nms_pallas
 
                 res = decode_ldpc_nms_pallas(
-                    internal, ldpc_bg, ldpc_Z, max_iter=max_iter, alpha=alpha
+                    internal, ldpc_bg, ldpc_Z, max_iter=max_iter, alpha=alpha,
+                    self_exclude=nms_exact,
                 )
             else:
                 res = decode_ldpc_nms_batch(
-                    internal, H, max_iter=max_iter, alpha=alpha, dtype=dtype
+                    internal, H, max_iter=max_iter, alpha=alpha,
+                    self_exclude=nms_exact, dtype=dtype,
                 )
             candidate = res["hard"][:, :K_payload]
             work = res["iters_used"].astype(jnp.float32)
