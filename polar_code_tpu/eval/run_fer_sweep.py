@@ -224,10 +224,16 @@ def _plot(results: List[Dict[str, float]], plot_path: Path, include_uncoded: boo
 
     plt.figure(figsize=(6, 4))
     snrs = [row["snr_db"] for row in results]
+    keys = (("fer_uncoded",) if include_uncoded else ()) + ("fer_scl", "fer_dl")
+    # semilogy warns on all-zero data (tiny smoke-test sweeps) — fall back
+    # to a linear axis there
+    draw = plt.plot if all(
+        row[k] == 0.0 for row in results for k in keys
+    ) else plt.semilogy
     if include_uncoded:
-        plt.semilogy(snrs, [row["fer_uncoded"] for row in results], "^-", label="Uncoded")
-    plt.semilogy(snrs, [row["fer_scl"] for row in results], "o-", label="SCL")
-    plt.semilogy(snrs, [row["fer_dl"] for row in results], "s-", label="DL-SCL")
+        draw(snrs, [row["fer_uncoded"] for row in results], "^-", label="Uncoded")
+    draw(snrs, [row["fer_scl"] for row in results], "o-", label="SCL")
+    draw(snrs, [row["fer_dl"] for row in results], "s-", label="DL-SCL")
     plt.xlabel("Eb/N0 (dB)")
     plt.ylabel("Frame Error Rate")
     plt.grid(True, which="both", ls="--", alpha=0.4)

@@ -873,19 +873,25 @@ def _build_kernel_for(
 # double-buffered input/output blocks the pipeline keeps in flight.  The
 # largest config measured working on-chip is P(1024,512) M=4 at BT=128
 # (estimate ≈14.0 MB); N=1024 M=8 (≈18 MB) fails and must route to XLA.
-VMEM_BUDGET_BYTES = int(14.5 * 2**20)
+VMEM_BUDGET_BYTES = int(15.75 * 2**20)
 
 
 def kernel_vmem_bytes(
     N: int, K: int, M: int, BT: int = 128, bit_dtype=jnp.float32
 ) -> int:
-    """Upper-bound VMEM footprint of one kernel program (scratch + blocks).
+    """Estimated scoped-VMEM footprint of one kernel program.
 
     Mirrors `_build_kernel_for`'s scratch list, including the sublane
     padding Mosaic applies to the second-to-last dim (8 rows for 32-bit
-    dtypes, 16 for 16-bit).  Used by `_default_block` and the backend
-    auto-selection to route over-budget (N, K, M) shapes to the XLA
-    decoder instead of failing the Mosaic compile.
+    dtypes, 16 for 16-bit), PLUS one extra copy of the LLR + partial-sum
+    planes: the clone-by-gather permutes the state planes in place, and
+    Mosaic materialises the gathered rows as stack temporaries before the
+    write-back.  Calibrated against the hardware's scoped-vmem accounting:
+    P(1024,512) M=8 bf16 reports 19.45 MB scoped vs 13.3 MB of declared
+    scratch — the ~6.3 MB gap is exactly those two plane copies.  Used by
+    `_default_block` and the backend auto-selection to route over-budget
+    (N, K, M) shapes to the XLA decoder instead of failing the Mosaic
+    compile (the chip rejects scoped allocations above 16 MB).
     """
 
     def pad(x, p=8):
@@ -894,8 +900,9 @@ def kernel_vmem_bytes(
     bit_isz = jnp.dtype(bit_dtype).itemsize
     bit_pad = 16 if bit_isz == 2 else 8
     n_state = N - 1
-    b = M * pad(n_state) * BT * 4                   # LLR planes
-    b += M * pad(n_state, bit_pad) * BT * bit_isz   # partial-sum planes
+    llr_planes = M * pad(n_state) * BT * 4              # LLR planes
+    bit_planes = M * pad(n_state, bit_pad) * BT * bit_isz  # partial sums
+    b = 2 * (llr_planes + bit_planes)  # resident + clone-gather temporaries
     b += 2 * pad(M) * BT * 4                        # pm + curidx
     b += 3 * K * pad(M) * BT * 4                    # tidx/tleaf/cbits
     # input/output blocks: llr [N, BT], forced [K, BT], bits/llrs [K, BT],
@@ -996,7 +1003,16 @@ def decode_scl_pallas(
         # the loop form's branch dispatch amortizes over the wider rows.
         full_unroll = not interpret and N <= 128
     if loop_unroll is None:
-        loop_unroll = 2 if pair_unroll else 1
+        # device-time A/Bs at 64k frames/call (min-of-interleaved-rounds):
+        # U=8 wins the loop form at every large shape — N=256 M=8
+        # 77.3 ms vs 83.0 (U=2), N=512 M=8 255 vs 268, N=1024 M=4 291 vs
+        # 321.  Bigger U regresses where the program outgrows i-cache
+        # (N=512 U=16: 555 ms).  Interpret mode keeps the cheap-tracing
+        # pair unroll.
+        if not pair_unroll:
+            loop_unroll = 1
+        else:
+            loop_unroll = 8 if (not interpret and N > 128) else 2
     if loop_unroll < 1 or (loop_unroll & (loop_unroll - 1)) or loop_unroll > N:
         raise ValueError("loop_unroll must be a power of two <= N")
     if B % block_batch:
