@@ -87,14 +87,25 @@ def decode_ldpc_nms_batch(
     B = int(llr.shape[0])
     idx_np, pad_np, layers = _prep(H.tobytes(), m, n)
     deg_max = idx_np.shape[1]
+    if self_exclude and m:
+        min_deg = int(np.min((~pad_np).sum(axis=1)))
+        if min_deg < 2:
+            raise ValueError(
+                "self_exclude=True needs every check row to have degree >= 2 "
+                f"(leave-one-out min is undefined on degree-{min_deg} rows)"
+            )
     Hd = jnp.asarray(H, dtype)
 
     def one_iteration(llr_x, msg):
-        # llr_x: [B, n+1] (sentinel col n), msg: [B, m, deg]
+        # llr_x: [B, n+1] (sentinel col n); msg: [B, m, deg] under
+        # self_exclude, else the scalar-per-row [B, m] (every real edge of
+        # a row carries the same shared-min value — materializing it
+        # per-edge would deg_max-fold the state for nothing)
         for rows in layers:
             cols = idx_np[rows]  # [L, deg] static
             pad = jnp.asarray(pad_np[rows])  # [L, deg]
-            ext = llr_x[:, cols] - msg[:, rows]  # [B, L, deg]
+            prev = msg[:, rows] if self_exclude else msg[:, rows, None]
+            ext = llr_x[:, cols] - prev  # [B, L, deg]
             sgn = jnp.where(pad[None], 1.0, jnp.sign(ext))
             mag = jnp.where(pad[None], jnp.inf, jnp.abs(ext))
             sprod = jnp.prod(sgn, axis=-1, keepdims=True)  # [B, L, 1]
@@ -107,12 +118,12 @@ def decode_ldpc_nms_batch(
                 )
                 # per-edge: sign product / own sign, min over the others
                 update = alpha * (sprod * sgn) * jnp.where(is_min, min2, min1)
+                msg = msg.at[:, rows].set(jnp.where(pad[None], 0.0, update))
             else:
-                update = (
-                    alpha * sprod * jnp.min(mag, axis=-1, keepdims=True)
-                ) * jnp.ones_like(ext)
+                row_upd = alpha * sprod * jnp.min(mag, axis=-1, keepdims=True)
+                update = row_upd * jnp.ones_like(ext)
+                msg = msg.at[:, rows].set(row_upd[..., 0])
             llr_x = llr_x.at[:, cols].set(ext + update)
-            msg = msg.at[:, rows].set(jnp.where(pad[None], 0.0, update))
         return llr_x, msg
 
     def syndrome_ok(llr_x):
@@ -124,7 +135,8 @@ def decode_ldpc_nms_batch(
         llr_x, msg, done, iters_used = state
         new_llr, new_msg = one_iteration(llr_x, msg)
         llr_x = jnp.where(done[:, None], llr_x, new_llr)
-        msg = jnp.where(done[:, None, None], msg, new_msg)
+        mask = done[:, None, None] if self_exclude else done[:, None]
+        msg = jnp.where(mask, msg, new_msg)
         ok_now = syndrome_ok(llr_x)
         newly = ~done & ok_now if early_stop else jnp.zeros_like(done)
         iters_used = jnp.where(newly, it + 1, iters_used)
@@ -134,9 +146,10 @@ def decode_ldpc_nms_batch(
     llr_x = jnp.concatenate(
         [llr.astype(dtype), jnp.zeros((B, 1), dtype)], axis=-1
     )
+    msg_shape = (B, m, deg_max) if self_exclude else (B, m)
     state = (
         llr_x,
-        jnp.zeros((B, m, deg_max), dtype),
+        jnp.zeros(msg_shape, dtype),
         jnp.zeros((B,), bool),
         jnp.full((B,), max_iter, jnp.int32),
     )

@@ -205,6 +205,16 @@ def decode_ldpc_nms_pallas(
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
     shifts_key = tuple(tuple(int(v) for v in row) for row in np.asarray(base_graph.shifts))
+    if self_exclude:
+        # A lifted row's degree equals its base row's block count; the
+        # leave-one-out (min1, min2) reduction is undefined on degree-1
+        # rows (the XLA path raises for the same reason).
+        min_blocks = min(sum(1 for v in row if v >= 0) for row in shifts_key)
+        if min_blocks < 2:
+            raise ValueError(
+                "self_exclude=True needs every check row to have degree >= 2 "
+                f"(base graph has a {min_blocks}-block row)"
+            )
     run = _build(
         shifts_key, Z, max_iter, float(alpha), block_batch, interpret,
         self_exclude,

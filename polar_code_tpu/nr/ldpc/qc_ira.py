@@ -46,14 +46,19 @@ def make_qc_ira_bg(m: int, n: int, Z: int) -> BaseGraph:
     IRA accumulator; lift with `build_h_matrix(bg, Z)` → H of shape
     (mZ, nZ), rate (n−m)/n.
 
-    Z must be prime and > m (the 4-cycle-freedom argument needs both block
-    indices below Z); m ≥ 2, n > m.
+    Z must be prime, > m AND > n − m (the 4-cycle-freedom argument needs
+    both factors i₁−i₂ and (j₁+1)−(j₂+1) nonzero mod Z, i.e. every block
+    index below Z; payload shifts ``i·(j+1) mod Z`` repeat — duplicate /
+    all-identity columns and 4-cycles — once j+1 reaches Z); m ≥ 2, n > m.
     """
 
     if m < 2 or n <= m:
         raise ValueError("need m >= 2 block-rows and n > m block-columns")
-    if not _is_prime(Z) or Z <= m:
-        raise ValueError(f"Z={Z} must be a prime > m={m} (girth-6 guarantee)")
+    if not _is_prime(Z) or Z <= m or Z <= n - m:
+        raise ValueError(
+            f"Z={Z} must be a prime > m={m} and > n-m={n - m} "
+            "(girth-6 guarantee)"
+        )
     shifts = np.full((m, n), -1, dtype=np.int32)
     for i in range(m):
         for j in range(n - m):

@@ -181,7 +181,7 @@ def maybe_distributed_init() -> bool:
         # handshake has a ~30 s internal deadline — under CPU contention the
         # compile-time skew between processes can exceed it and abort the
         # job with "Gloo context initialization failed: DEADLINE_EXCEEDED".
-        sync_processes("collective_init_warmup")
+        sync_processes("collective_init_warmup", collective=True)
     return jax.process_count() > 1
 
 
@@ -199,17 +199,46 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
-def sync_processes(tag: str = "barrier") -> None:
+_BARRIER_SEQ: dict = {}
+
+
+def sync_processes(
+    tag: str = "barrier", *, timeout_s: float = 300.0, collective: bool = False
+) -> None:
     """Barrier across all processes (no-op single-process).
 
     Used at sweep exit so the coordinator does not tear down the
     distributed service while other hosts still have chunks in flight.
+
+    The default path is the coordination-service barrier (plain gRPC with
+    an explicit, generous timeout): a device collective here rides the
+    transport's ~30 s internal deadline, which one process stalled on
+    artifact writes under heavy CPU contention (e.g. xdist-parallel test
+    runs) can exceed.  ``collective=True`` instead runs a real device
+    collective (`sync_global_devices`) — what the post-init warm-up needs,
+    since its whole point is forming the Gloo context.
     """
 
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+    if jax.process_count() <= 1:
+        return
+    if not collective:
+        try:
+            from jax._src.distributed import global_state
 
-        multihost_utils.sync_global_devices(tag)
+            client = global_state.client
+        except Exception:
+            client = None
+        if client is not None:
+            # coordination-service barrier ids are single-use: suffix a
+            # per-tag sequence number so repeated sweeps in one process
+            # (e.g. resume tests) get fresh barriers
+            seq = _BARRIER_SEQ.get(tag, 0)
+            _BARRIER_SEQ[tag] = seq + 1
+            client.wait_at_barrier(f"{tag}_{seq}", int(timeout_s * 1000))
+            return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
 
 
 __all__ = [

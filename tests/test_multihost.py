@@ -57,6 +57,7 @@ def _launch(extra_args, out_dir, plot_dir, devices_per_proc):
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("gloo_cluster")
 def test_two_process_sweep_matches_single_process(tmp_path):
     single_dir = tmp_path / "single"
     multi_dir = tmp_path / "multi"
@@ -105,6 +106,7 @@ def test_two_process_sweep_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("gloo_cluster")
 def test_two_process_snr_split_matches_single_process(tmp_path):
     """Eb/N0-point work splitting (`--snr_split`, SURVEY §2.3): two processes
     each own one of the two sweep points, simulate it on their LOCAL devices,

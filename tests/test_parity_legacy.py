@@ -161,3 +161,39 @@ def test_pac_batched_decoder_self_consistent(legacy_ref):
         np.testing.assert_array_equal(
             np.asarray(batched["extracted"][b]), np.asarray(single["extracted"][0])
         )
+
+
+def test_helper_variants_match(legacy_ref):
+    """The exact-f helper variants (reference polar_coding_functions.py:57-132)
+    unused by any reference driver — completeness of the function surface."""
+    pcfun, _, _, _ = legacy_ref
+    from polar_code_tpu.legacy.functions import (
+        conv1bit_getNextStates,
+        logdomain_sum2,
+        upperconv2,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        x = rng.normal(0, 4, size=16)
+        y = rng.normal(0, 4, size=16)
+        np.testing.assert_allclose(
+            logdomain_sum2(x, y), pcfun.logdomain_sum2(x, y), rtol=0, atol=0
+        )
+        np.testing.assert_allclose(
+            upperconv2(x, y), pcfun.upperconv2(x, y), rtol=0, atol=0
+        )
+
+    gen1 = [1, 0, 1, 1, 0, 1, 1]
+    gen2 = [1, 1, 0, 1, 1]
+    m1, m2 = len(gen1) - 1, len(gen2) - 1
+    for trial in range(20):
+        in_bit = int(rng.integers(0, 2))
+        s1 = [int(b) for b in rng.integers(0, 2, size=m1)]
+        s2 = [int(b) for b in rng.integers(0, 2, size=m2)]
+        flag = trial % 2
+        ours = conv1bit_getNextStates(in_bit, list(s1), list(s2), gen1, gen2, flag)
+        ref = pcfun.conv1bit_getNextStates(in_bit, list(s1), list(s2), gen1, gen2, flag)
+        assert ours[0] == ref[0]
+        assert list(ours[1]) == list(ref[1])
+        assert list(ours[2]) == list(ref[2])
