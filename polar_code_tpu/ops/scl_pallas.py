@@ -25,19 +25,27 @@ math, reference `dl_scl_polar/polar/scl.py`):
   `log(1+e^∓LLR)` penalty; a sorting network over (metric, creation-index)
   pairs reproduces the reference's stable sort bit-for-bit — sublane-packed
   bitonic on one [2M, BT] vreg block (compare-exchange via `pltpu.roll`)
-  for M≥4, per-row Batcher odd-even comparators for the tiny lists;
-  clone-by-gather is a binary select tree over the M source
-  paths (M−1 vector selects per output, written straight back in place),
-  restricted to the state rows still *live* at that fork (exact
-  reverse-schedule liveness; small-level tails gather unconditionally to
-  avoid branch overhead).  Unused list slots carry +inf metrics.
+  for M≥4, per-row Batcher odd-even comparators for the tiny lists.
+  Unused list slots carry +inf metrics.
+* Survivor "cloning" is LAZY (default): per-level path-origin maps σ
+  compose at each fork (σ ← σ[parent]) and the few reads that cross a
+  fork boundary gather through them — O(N log N) data movement per
+  decode instead of the fork-time clone-by-gather's O(N²) row-gathers
+  (which measured 75% of decode time at N=512 M=8), and the state planes
+  are never permuted in place, so no plane-sized stack copies and
+  P(1024,512) M=8 fits VMEM.  The fork-time mode (liveness-restricted
+  clone-by-gather via binary select trees) is kept as `lazy_clone=False`;
+  both modes are bit-identical.
 * Path histories are NOT gathered every phase: (parent, bit, leaf-LLR)
-  traces are recorded per info phase and the M candidates are
-  reconstructed by a backtracking loop at the end — this removes the
-  [M, K] info-bit planes from the per-phase clone entirely.
-* CRC selection: per-candidate syndrome via an MXU matmul with the
-  precomputed GF(2) check matrix (`ops/crc.py`), first-passing-else-best
-  selection, all in-kernel.
+  traces are recorded per info phase and candidates are reconstructed by
+  a backtracking loop at the end — this removes the [M, K] info-bit
+  planes from the per-phase clone entirely.
+* CRC selection: the backtrack stages candidate bits in ≤128-row chunks
+  and folds each chunk into per-rank syndrome accumulators with an MXU
+  matmul against the precomputed GF(2) check matrix (`ops/crc.py`) — no
+  [K, M, BT] candidate plane is ever materialized; selection is
+  first-passing-else-best, and a final selected-path backtrack emits the
+  winner's bits and leaf LLRs, all in-kernel.
 
 `force_info_bits` plans (−1/0/1) are honored by masking disallowed
 branches to +inf, matching the reference's extend-in-place semantics.
@@ -277,14 +285,20 @@ def _kernel_body(
                   # indexing keeps every access slab-aligned — flat [K·M]
                   # rows fail Mosaic's sublane-alignment check for M<8)
     tleaf_ref,    # [K, M, BT] f32 trace: leaf LLR by *parent* slot; after
-                  # the selected-path LLR backtrack, slot 0 of each row
-                  # doubles as the llrs output staging (no cllrs plane)
-    cbits_ref,    # [K, M, BT] f32 reconstructed candidate bits
+                  # the selected-path backtrack, slot 0 of each row doubles
+                  # as the llrs output staging (no cllrs plane)
+    staged_ref,   # [CH<=128, M, BT] f32 backtrack staging: candidate bits
+                  # of one row-chunk, consumed by the per-chunk syndrome
+                  # matmul (replaces the full [K, M, BT] cbits plane)
     curidx_ref,   # [M, BT] f32 backtrack cursor
+    sig_ref,      # [M, 2n-1, BT] f32 lazy-clone path-origin maps σ
+                  # (dummy [1, 1, BT] in fork-clone mode / M=1)
+    syn_ref,      # [M, deg, BT] f32 per-rank CRC syndrome accumulators
+                  # (dummy when CRC unused or M=1)
     *,
     N: int, M: int, K: int, use_crc: bool, bit_dtype=jnp.float32,
     packed_sort: bool = True, loop_unroll: int = 2, static_tables=None,
-    has_force: bool = True,
+    has_force: bool = True, lazy_clone: bool = True,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -313,6 +327,57 @@ def _kernel_body(
     sort_pairs_2m = _batcher_pairs(2 * M)
     sort_pairs_m = _batcher_pairs(M) if M > 1 else []
 
+    # --- lazy clone: per-level path-origin maps σ ---------------------
+    # Fork-time clone-by-gather physically permutes every live state row
+    # at every fork — O(N) rows × K forks = O(N²) row-gathers per decode
+    # (measured 75% of decode time at N=512 M=8).  Lazy mode instead keeps
+    # one σ map per tree level: sig[m, row, :] = which *physical* slot
+    # holds the logical data of path m for that level.  At a fork the maps
+    # compose (σ ← σ[parent], one [M, 2n−1, BT] select-tree pass); a level
+    # write resets its σ row to identity; and the only reads that ever
+    # cross a fork boundary — the g-update at the top of each phase's
+    # descent (parent LLR row + stored left bits) and the combine chain's
+    # left-sibling reads — gather through σ.  Same values, O(N log N)
+    # data movement.  (f-reads consume rows written earlier in the same
+    # phase, so they never need σ; LLR level n is consumed at its own
+    # phase's leaf and needs no σ row.)
+    lazy = lazy_clone and M > 1
+    n_sig = 2 * n - 1
+
+    def sli(level):  # σ row of LLR level (1..n−1)
+        return level - 1
+
+    def sbi(level):  # σ row of partial-sum level (1..n)
+        return (n - 1) + (level - 1)
+
+    if lazy:
+        sig_ref[...] = jax.lax.broadcasted_iota(
+            jnp.int32, (M, n_sig, BT), 0
+        ).astype(jnp.float32)
+
+    def sig_reset(row):
+        if lazy:
+            sig_ref[:, row : row + 1, :] = jax.lax.broadcasted_iota(
+                jnp.int32, (M, 1, BT), 0
+            ).astype(jnp.float32)
+
+    def sig_gather(rows, row):
+        """rows: [M, span, BT] → logical per-slot view rows[σ[m]]."""
+
+        if not lazy or "clone" in _ABLATE:
+            return rows
+        srcs = [rows[p] for p in range(M)]
+        outs = []
+        for m in range(M):
+            vals = srcs
+            for cond in _index_bits(sig_ref[m, row : row + 1, :], M):
+                vals = [
+                    jnp.where(cond, vals[2 * j + 1], vals[2 * j])
+                    for j in range(len(vals) // 2)
+                ]
+            outs.append(vals[0])
+        return jnp.stack(outs, axis=0)
+
     def propagate(phase, cur0, smax=None):
         """Partial-sum combine chain, specialized per store level.
 
@@ -331,16 +396,23 @@ def _kernel_body(
             def _(s=s):
                 cur = cur0.astype(bit_dtype)  # 0/1 values: exact in bf16
                 for level in range(n, s, -1):
-                    left = bstate_ref[:, brows(level), :]
+                    left = sig_gather(bstate_ref[:, brows(level), :], sbi(level))
                     xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
                     cur = jnp.concatenate([xor, cur], axis=1)
                 bstate_ref[:, brows(s), :] = cur
+                sig_reset(sbi(s))
 
-    def _parent_halves(level):
+    def _parent_halves(level, g_read=False):
+        # g_read: the caller is the g-update at the top of a phase's
+        # descent — the one LLR read that can cross fork boundaries, so it
+        # goes through σ in lazy mode.  f-reads consume rows written
+        # earlier in the same phase and never need it.
         half = N >> level
         if level == 1:
             return llr_ref[:half, :], llr_ref[half : 2 * half, :]
         parent = state_ref[:, lrows(level - 1), :]
+        if g_read:
+            parent = sig_gather(parent, sli(level - 1))
         return parent[:, :half, :], parent[:, half:, :]
 
     def _apply_f(level, ret=False):
@@ -358,16 +430,50 @@ def _kernel_body(
         if ret:
             return f
         state_ref[:, lrows(level), :] = f
+        if level < n:
+            sig_reset(sli(level))
+
+    # Wide g-updates run in row chunks in lazy mode so the σ-gather
+    # temporaries stay bounded (~3 × [M, 128, BT] instead of full
+    # [M, N/2, BT] plane values) — this is what keeps P(1024,512) M=8
+    # inside the VMEM budget.
+    _GCHUNK = 128
 
     def _apply_g(level, ret=False):
         if "fg" in _ABLATE:
             return jnp.zeros((M, N >> level, BT), jnp.float32) if ret else None
-        a, b = _parent_halves(level)
-        c = bstate_ref[:, brows(level), :].astype(jnp.float32)
-        g = b + (1.0 - 2.0 * c) * a
-        if ret:
-            return g
-        state_ref[:, lrows(level), :] = g
+        half = N >> level
+        if not lazy or ret or half <= _GCHUNK:
+            a, b = _parent_halves(level, g_read=True)
+            c = sig_gather(bstate_ref[:, brows(level), :], sbi(level)).astype(
+                jnp.float32
+            )
+            g = b + (1.0 - 2.0 * c) * a
+            if ret:
+                return g
+            state_ref[:, lrows(level), :] = g
+        else:
+            o0 = off[level]
+            for c0 in range(0, half, _GCHUNK):
+                ch = min(_GCHUNK, half - c0)
+                if level == 1:
+                    a = llr_ref[c0 : c0 + ch, :]
+                    b = llr_ref[half + c0 : half + c0 + ch, :]
+                else:
+                    p0 = off[level - 1]
+                    a = sig_gather(
+                        state_ref[:, p0 + c0 : p0 + c0 + ch, :], sli(level - 1)
+                    )
+                    b = sig_gather(
+                        state_ref[:, p0 + half + c0 : p0 + half + c0 + ch, :],
+                        sli(level - 1),
+                    )
+                c = sig_gather(
+                    bstate_ref[:, o0 + c0 : o0 + c0 + ch, :], sbi(level)
+                ).astype(jnp.float32)
+                state_ref[:, o0 + c0 : o0 + c0 + ch, :] = b + (1.0 - 2.0 * c) * a
+        if level < n:
+            sig_reset(sli(level))
 
     def llr_update_branchy(phase, gmax):
         # LLR updates, specialized by the phase's g-level: one g at that
@@ -528,7 +634,23 @@ def _kernel_body(
         # 2.5-5% LOSS — the per-fork vector→scalar sync stalls the
         # pipeline for more than the skipped gathers save.
         if M > 1 and "clone" not in _ABLATE:
-            do_gathers()
+            if lazy:
+                # σ ← σ[parent]: one select-tree pass over the whole
+                # [M, 2n−1, BT] map block — the entire per-fork clone cost
+                parent_bits = [_index_bits(parents[m], M) for m in range(M)]
+                srcs = [sig_ref[p] for p in range(M)]
+                outs = []
+                for m in range(M):
+                    vals = srcs
+                    for cond in parent_bits[m]:
+                        vals = [
+                            jnp.where(cond, vals[2 * j + 1], vals[2 * j])
+                            for j in range(len(vals) // 2)
+                        ]
+                    outs.append(vals[0])
+                sig_ref[...] = jnp.stack(outs, axis=0)
+            else:
+                do_gathers()
         pm_ref[...] = new_pm
 
         # traces (leaf is indexed by the *old* slot = parent); parent and
@@ -557,6 +679,7 @@ def _kernel_body(
 
     def store_even(cur0):
         bstate_ref[:, brows(n), :] = cur0.astype(bit_dtype)
+        sig_reset(sbi(n))
 
     if static_tables is not None:
         # Fully-unrolled phase loop: the schedule, frozen mask, info
@@ -597,10 +720,11 @@ def _kernel_body(
                     return
                 cur = cur0.astype(bit_dtype)
                 for level in range(n, s, -1):
-                    left = bstate_ref[:, brows(level), :]
+                    left = sig_gather(bstate_ref[:, brows(level), :], sbi(level))
                     xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
                     cur = jnp.concatenate([xor, cur], axis=1)
                 bstate_ref[:, brows(s), :] = cur
+                sig_reset(sbi(s))
 
             if stat_frozen[phase]:
                 frozen_leaf(leaf, store_fn)
@@ -660,10 +784,13 @@ def _kernel_body(
                                 return
                             cur = cur0.astype(bit_dtype)
                             for level in range(n, s, -1):
-                                left = bstate_ref[:, brows(level), :]
+                                left = sig_gather(
+                                    bstate_ref[:, brows(level), :], sbi(level)
+                                )
                                 xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
                                 cur = jnp.concatenate([xor, cur], axis=1)
                             bstate_ref[:, brows(s), :] = cur
+                            sig_reset(sbi(s))
 
                         leaf_step(p, store_static, leaf=leaf)
 
@@ -719,68 +846,79 @@ def _kernel_body(
     # keep the final-sort path indices for the selected-path LLR backtrack
     pm_ref[...] = fidx_stack
 
-    # --- backtrack all M candidates' BITS through the traces ----------
-    # (LLR histories are NOT reconstructed per candidate: only the selected
-    # path's are needed, recovered by a second cheap backtrack below — this
-    # removes the [K, M, BT] cllrs plane and M·(M−1) selects per trace row)
+    # --- CRC syndromes via chunked candidate backtrack ----------------
+    # All-rank candidate BITS are never materialized as a [K, M, BT]
+    # plane: the K-step backtracking loop stages one ≤128-row chunk of
+    # candidate bits at a time and folds each finished chunk into per-rank
+    # syndrome accumulators with one MXU matmul per rank (f32 sums ≤ K are
+    # exact; mod 2 once at the end).  Candidate LLR histories are not
+    # reconstructed either — only the selected path's, by the second cheap
+    # backtrack below.  Net: 3 K-row planes (cbits + the old cllrs) cut to
+    # one ≤128-row staging block — how P(1024,512) M=8 fits in VMEM.
+    if use_crc and "backtrack" not in _ABLATE:
+        CH = staged_ref.shape[0]
+        syn_ref[...] = jnp.zeros_like(syn_ref)
+        Hc_const = hc_ref[...]  # [deg, K]
+        bounds = [(c0, min(CH, K - c0)) for c0 in range(0, K, CH)]
+        for c0, sz in reversed(bounds):
+            def bt_body(t, _, c0=c0, sz=sz):
+                i = c0 + (sz - 1) - t
+                tx = tidx_ref[pl.ds(i, 1)][0]  # [M, BT] creation 2p+b
+                newcur = []
+                brow = []
+                for r in range(M):
+                    ci = curidx_ref[r : r + 1, :]
+                    x = _select_m(tx, ci)
+                    p = jnp.floor(x * 0.5)
+                    brow.append(x - 2.0 * p)
+                    newcur.append(p)
+                staged_ref[pl.ds(i - c0, 1)] = jnp.concatenate(brow, axis=0)[None]
+                curidx_ref[...] = jnp.concatenate(newcur, axis=0)
 
-    def bt_body(t, _):
-        i = K - 1 - t
-        tx = tidx_ref[pl.ds(i, 1)][0]  # [M, BT] creation indices 2p+b
-        newcur = []
-        brow = []
-        for r in range(M):
-            ci = curidx_ref[r : r + 1, :]
-            x = _select_m(tx, ci)
-            p = jnp.floor(x * 0.5)
-            brow.append(x - 2.0 * p)
-            newcur.append(p)
-        cbits_ref[pl.ds(i, 1)] = jnp.concatenate(brow, axis=0)[None]
-        curidx_ref[...] = jnp.concatenate(newcur, axis=0)
+            jax.lax.fori_loop(0, sz, bt_body, None)
+            if "crc" not in _ABLATE:
+                for r in range(M):
+                    prod = jax.lax.dot_general(
+                        Hc_const[:, c0 : c0 + sz], staged_ref[:sz, r, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    syn_ref[r] = syn_ref[r] + prod
 
-    if "backtrack" not in _ABLATE:
-        jax.lax.fori_loop(0, K, bt_body, None)
-
-    # --- CRC selection: first passing candidate, else best metric -----
-    best_bits = cbits_ref[:, 0, :]  # [K, BT] (rank 0 fallback)
+    # --- CRC selection: first passing rank, else best metric ----------
     done = jnp.zeros((1, BT), jnp.bool_)
     sel = jnp.zeros((1, BT), jnp.float32)  # selected rank (0 fallback)
     if use_crc and "crc" not in _ABLATE:
-        Hc_const = hc_ref[...]  # [deg, K]
         for r in range(M):
-            cand = cbits_ref[:, r, :]  # [K, BT]
-            syn = jax.lax.dot_general(
-                Hc_const, cand, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            syn = syn_ref[r]  # [deg, BT] accumulated counts
             syn = syn - 2.0 * jnp.floor(syn * 0.5)
             ok = (jnp.max(syn, axis=0, keepdims=True) == 0.0) & (fpm[r] < _BIG)
             take = ok & jnp.logical_not(done)
-            best_bits = jnp.where(take, cand, best_bits)
             sel = jnp.where(take, float(r), sel)
             done = done | ok
-
-    bits_ref[...] = best_bits.astype(jnp.int32)
     pass_ref[...] = done.astype(jnp.int32)
 
-    # --- selected-path LLR backtrack (replaces the cllrs plane) -------
-    # Walk the parent chain of the selected rank only, staging each leaf
-    # LLR into slot 0 of the (already-consumed) tleaf row — trace rows are
-    # read before being overwritten, descending in i.
+    # --- selected-path backtrack: bits + leaf LLRs --------------------
+    # Walk the parent chain of the selected rank only, staging the bit and
+    # leaf LLR of each row into the (already-consumed) tidx/tleaf rows —
+    # trace rows are read before being overwritten, descending in i.
     cur0 = _select_m(pm_ref[...], sel)  # final-sort path index of `sel`
 
-    def llr_bt_body(t, cur):
+    def sel_bt_body(t, cur):
         i = K - 1 - t
         tx = tidx_ref[pl.ds(i, 1)][0]
         tl = tleaf_ref[pl.ds(i, 1)][0]
         x = _select_m(tx, cur)
         p = jnp.floor(x * 0.5)
+        b = x - 2.0 * p
         l = _select_m(tl, p)
+        tidx_ref[pl.ds(i, 1)] = jnp.broadcast_to(b, (M, BT))[None]
         tleaf_ref[pl.ds(i, 1)] = jnp.broadcast_to(l, (M, BT))[None]
         return p
 
     if "backtrack" not in _ABLATE:
-        jax.lax.fori_loop(0, K, llr_bt_body, cur0)
+        jax.lax.fori_loop(0, K, sel_bt_body, cur0)
+    bits_ref[...] = tidx_ref[:, 0, :].astype(jnp.int32)
     llrs_ref[...] = tleaf_ref[:, 0, :]
 
 
@@ -789,9 +927,11 @@ def _build_kernel_for(
     info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int,
     interpret: bool, bit_dtype_name: str = "float32", packed_sort: bool = True,
     loop_unroll: int = 2, full_unroll: bool = False, has_force: bool = True,
+    lazy_clone: bool = True,
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
+    n = int(math.log2(N))
     upd, store, frozen, infoidx, llr_live, bit_live, glevel = _schedule_tables(N, info_np)
     Hc = np.asarray(check_matrix(crc, K)) if crc is not None else None
     n_state = N - 1
@@ -803,18 +943,21 @@ def _build_kernel_for(
     kernel = functools.partial(
         _kernel_body, N=N, M=M, K=K, use_crc=crc is not None, bit_dtype=bit_dtype,
         packed_sort=packed_sort, loop_unroll=loop_unroll, static_tables=static_tables,
-        has_force=has_force,
+        has_force=has_force, lazy_clone=lazy_clone,
     )
 
+    dummy = np.zeros(1, np.int32)
     if full_unroll:
         # schedule baked into the program — prefetch 1-element dummies
-        dummy = np.zeros(1, np.int32)
         prefetch = (dummy,) * 6
     else:
-        # 2-D tables ride flattened: SMEM pads minor dims to 128
+        # 2-D tables ride flattened: SMEM pads minor dims to 128.  The
+        # liveness tables only drive the fork-time clone; lazy mode
+        # replaces them with σ maps and prefetches dummies.
         prefetch = (
             glevel, store.reshape(-1), frozen, infoidx,
-            llr_live.reshape(-1), bit_live.reshape(-1),
+            dummy if lazy_clone else llr_live.reshape(-1),
+            dummy if lazy_clone else bit_live.reshape(-1),
         )
 
     hc_arr = (
@@ -832,14 +975,25 @@ def _build_kernel_for(
         pl.BlockSpec((K, BT), lambda i, *_: (0, i)),
         pl.BlockSpec((1, BT), lambda i, *_: (0, i)),
     ]
+    use_syn = crc is not None and M > 1
+    CH = min(K, 128)
+    deg = int(Hc.shape[0]) if Hc is not None else 1
+    n_sig = max(2 * n - 1, 1)
     scratch_shapes = [
         pltpu.VMEM((M, n_state, BT), jnp.float32),
         pltpu.VMEM((M, n_state, BT), bit_dtype),
         pltpu.VMEM((M, BT), jnp.float32),
         pltpu.VMEM((K, M, BT), jnp.float32),  # tidx (2·parent+bit packed)
         pltpu.VMEM((K, M, BT), jnp.float32),  # tleaf (+ llrs staging)
-        pltpu.VMEM((K, M, BT), jnp.float32),  # cbits
-        pltpu.VMEM((M, BT), jnp.float32),
+        # backtrack staging chunk (was the [K, M, BT] cbits plane)
+        pltpu.VMEM((CH, M, BT) if use_syn else (1, 1, BT), jnp.float32),
+        pltpu.VMEM((M, BT), jnp.float32),     # curidx
+        # lazy-clone σ maps / per-rank syndrome accumulators
+        pltpu.VMEM(
+            (M, n_sig, BT) if (lazy_clone and M > 1) else (1, 1, BT),
+            jnp.float32,
+        ),
+        pltpu.VMEM((M, deg, BT) if use_syn else (1, 1, BT), jnp.float32),
     ]
 
     def run(llr_t: jnp.ndarray, forced_t: jnp.ndarray):
@@ -870,25 +1024,29 @@ def _build_kernel_for(
 
 
 # v5e VMEM is ~16 MiB/core; leave headroom for Mosaic temporaries and the
-# double-buffered input/output blocks the pipeline keeps in flight.  The
-# largest config measured working on-chip is P(1024,512) M=4 at BT=128
-# (estimate ≈14.0 MB); N=1024 M=8 (≈18 MB) fails and must route to XLA.
+# double-buffered input/output blocks the pipeline keeps in flight.  Under
+# lazy clone every shape up to P(1024,512) M=8 fits at f32 (model estimate
+# ≈13.2 MB); the legacy fork-clone mode doubles the plane term (in-place
+# permutation stack copies) and N=1024 M=8 (~19.3 MB) must route to XLA.
 VMEM_BUDGET_BYTES = int(15.75 * 2**20)
 
 
 def kernel_vmem_bytes(
-    N: int, K: int, M: int, BT: int = 128, bit_dtype=jnp.float32
+    N: int, K: int, M: int, BT: int = 128, bit_dtype=jnp.float32,
+    *, lazy_clone: bool = True, crc_deg: int = 24,
 ) -> int:
     """Estimated scoped-VMEM footprint of one kernel program.
 
     Mirrors `_build_kernel_for`'s scratch list, including the sublane
     padding Mosaic applies to the second-to-last dim (8 rows for 32-bit
-    dtypes, 16 for 16-bit), PLUS one extra copy of the LLR + partial-sum
-    planes: the clone-by-gather permutes the state planes in place, and
-    Mosaic materialises the gathered rows as stack temporaries before the
-    write-back.  Calibrated against the hardware's scoped-vmem accounting:
-    P(1024,512) M=8 bf16 reports 19.45 MB scoped vs 13.3 MB of declared
-    scratch — the ~6.3 MB gap is exactly those two plane copies.  Used by
+    dtypes, 16 for 16-bit).  In fork-clone mode (lazy_clone=False) the
+    LLR + partial-sum plane term is DOUBLED: the clone-by-gather permutes
+    the state planes in place and Mosaic materialises the gathered rows as
+    stack temporaries before the write-back (calibrated: P(1024,512) M=8
+    bf16 reported 19.45 MB scoped vs 13.3 MB declared scratch — the gap is
+    those two plane copies).  Lazy mode never permutes the planes; its
+    extra terms are the σ maps plus the largest read-gather temporary (the
+    level-2 g gathers the [M, N/2, BT] level-1 parent block).  Used by
     `_default_block` and the backend auto-selection to route over-budget
     (N, K, M) shapes to the XLA decoder instead of failing the Mosaic
     compile (the chip rejects scoped allocations above 16 MB).
@@ -899,28 +1057,46 @@ def kernel_vmem_bytes(
 
     bit_isz = jnp.dtype(bit_dtype).itemsize
     bit_pad = 16 if bit_isz == 2 else 8
+    n = int(math.log2(N))
     n_state = N - 1
     llr_planes = M * pad(n_state) * BT * 4              # LLR planes
     bit_planes = M * pad(n_state, bit_pad) * BT * bit_isz  # partial sums
-    b = 2 * (llr_planes + bit_planes)  # resident + clone-gather temporaries
+    if lazy_clone and M > 1:
+        b = llr_planes + bit_planes
+        # σ-gather temporaries: wide g-updates are 128-row-chunked, so
+        # the peak is ~3 gathered chunks in flight
+        b += 3 * M * min(pad(N >> 1), 128) * BT * 4
+        # the level-1 partial-sum combine chain accumulates a full
+        # [M, N/2, BT] value in bit_dtype (calibrated: hardware reports
+        # 16.50 MB scoped for N=1024 M=8 f32 — this term closes the gap
+        # and routes that shape to bf16 bit planes, which fit)
+        b += M * pad(N >> 1, bit_pad) * BT * bit_isz
+        b += M * pad(2 * n - 1) * BT * 4    # σ maps
+    else:
+        b = 2 * (llr_planes + bit_planes)   # resident + clone temporaries
     b += 2 * pad(M) * BT * 4                        # pm + curidx
-    b += 3 * K * pad(M) * BT * 4                    # tidx/tleaf/cbits
+    b += 2 * K * pad(M) * BT * 4                    # tidx/tleaf
+    if M > 1:
+        b += min(K, 128) * pad(M) * BT * 4          # backtrack staging
+        b += M * pad(crc_deg) * BT * 4              # syndrome accumulators
     # input/output blocks: llr [N, BT], forced [K, BT], bits/llrs [K, BT],
     # pass [1, BT], CRC matrix [deg, K]
     b += (pad(N) + 3 * pad(K) + pad(1)) * BT * 4
-    b += pad(24) * pad(K, 128) * 4
+    b += pad(crc_deg) * pad(K, 128) * 4
     return b
 
 
-def kernel_fit_dtype(N: int, K: int, M: int, BT: int = 128):
+def kernel_fit_dtype(
+    N: int, K: int, M: int, BT: int = 128, *, lazy_clone: bool = True
+):
     """Bit-plane dtype that fits the VMEM budget at this shape: f32 (the
     measured-fastest default), else bf16 (numerically EXACT for the 0/1
-    partial-sum planes, halving their footprint — how N=1024 M=8 fits),
-    else None (route to the XLA decoder)."""
+    partial-sum planes, halving their footprint), else None (route to the
+    XLA decoder).  Under lazy clone, f32 fits through P(1024,512) M=8."""
 
-    if kernel_vmem_bytes(N, K, M, BT, jnp.float32) <= VMEM_BUDGET_BYTES:
+    if kernel_vmem_bytes(N, K, M, BT, jnp.float32, lazy_clone=lazy_clone) <= VMEM_BUDGET_BYTES:
         return jnp.float32
-    if kernel_vmem_bytes(N, K, M, BT, jnp.bfloat16) <= VMEM_BUDGET_BYTES:
+    if kernel_vmem_bytes(N, K, M, BT, jnp.bfloat16, lazy_clone=lazy_clone) <= VMEM_BUDGET_BYTES:
         return jnp.bfloat16
     return None
 
@@ -955,8 +1131,17 @@ def decode_scl_pallas(
     pair_unroll: bool = True,
     loop_unroll: Optional[int] = None,
     full_unroll: Optional[bool] = None,
+    lazy_clone: Optional[bool] = None,
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
+
+    lazy_clone (default on for M>1): survivors are never physically
+    copied at forks.  Per-level path-origin maps σ compose at each fork
+    and the few reads that cross fork boundaries gather through them —
+    O(N log N) data movement instead of the fork-time clone-by-gather's
+    O(N²) row-gathers (which measured 75% of decode time at N=512 M=8),
+    and no in-place-permutation stack copies, so P(1024,512) M=8 fits
+    VMEM at f32.  Results are bit-identical between modes.
 
     full_unroll (default: on when compiled at N≤128, off in interpret mode
     — interpret tracing is ~3× slower unrolled — and off for larger codes,
@@ -989,10 +1174,15 @@ def decode_scl_pallas(
     info_np = np.asarray(info_set)
     B, N = int(llr.shape[0]), int(llr.shape[1])
     K = int(info_np.size)
+    if lazy_clone is None:
+        lazy_clone = M > 1
     if block_batch is None:
         block_batch = _default_block(M, B, N, K)
     if bit_dtype is None:
-        bit_dtype = kernel_fit_dtype(N, K, M, block_batch) or jnp.float32
+        bit_dtype = (
+            kernel_fit_dtype(N, K, M, block_batch, lazy_clone=lazy_clone)
+            or jnp.float32
+        )
     if packed_sort is None:
         # measured: sublane-packed bitonic wins ~1-1.5% at M>=4 (16/8-row
         # networks); at M=1 the 2-row rolls cost more than row comparators
@@ -1017,7 +1207,7 @@ def decode_scl_pallas(
         raise ValueError("loop_unroll must be a power of two <= N")
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
-    need = kernel_vmem_bytes(N, K, M, block_batch, bit_dtype)
+    need = kernel_vmem_bytes(N, K, M, block_batch, bit_dtype, lazy_clone=lazy_clone)
     if not interpret and need > VMEM_BUDGET_BYTES:
         raise ValueError(
             f"SCL kernel state for N={N} K={K} M={M} block_batch={block_batch} "
@@ -1031,7 +1221,7 @@ def decode_scl_pallas(
     run = _build_kernel_for(
         tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret,
         jnp.dtype(bit_dtype).name, packed_sort, loop_unroll, full_unroll,
-        has_force,
+        has_force, lazy_clone,
     )
     llr_t = llr.T.astype(jnp.float32)  # [N, B]
     if has_force:

@@ -140,3 +140,47 @@ def test_sc_equals_m1_kernel_without_crc(info_set):
         jnp.asarray(llr), info_set, 1, None, block_batch=B, interpret=True
     )["best_path_bits"]
     np.testing.assert_array_equal(np.asarray(kern), np.asarray(xla))
+
+
+@pytest.mark.parametrize("M", [2, 4, 8])
+@pytest.mark.parametrize("full_unroll", [False, True])
+def test_kernel_clone_modes_bit_identical(info_set, M, full_unroll):
+    """Lazy σ-map clone (default) vs fork-time clone-by-gather: the two
+    data-movement strategies must produce bit-identical decodes."""
+
+    llr = _llrs(seed=60 + M, scale=2.0)
+    lazy = decode_scl_pallas(
+        llr, info_set, M, CRC, block_batch=B, interpret=True,
+        full_unroll=full_unroll, lazy_clone=True,
+    )
+    fork = decode_scl_pallas(
+        llr, info_set, M, CRC, block_batch=B, interpret=True,
+        full_unroll=full_unroll, lazy_clone=False,
+    )
+    for k in ("best_path_bits", "crc_pass"):
+        np.testing.assert_array_equal(np.asarray(lazy[k]), np.asarray(fork[k]))
+    np.testing.assert_array_equal(
+        np.asarray(lazy["best_path_info_llrs"]),
+        np.asarray(fork["best_path_info_llrs"]),
+    )
+
+
+def test_kernel_large_n_lazy_matches_xla():
+    """One wide-code interpret check: N=512 exercises the 128-row-chunked
+    g-updates (level-1 span 256) and the multi-chunk syndrome backtrack
+    (K=256 → two staging chunks)."""
+
+    n_size, k_size = 512, 256
+    info = construct_info_set(n_size, k_size, method="gaussian_bitrev")
+    rng = np.random.default_rng(11)
+    llr = jnp.asarray(rng.normal(0, 2.5, size=(B, n_size)), jnp.float32)
+    ref = decode_scl_batch(llr, info, 4, "0x1864CFB", dtype=jnp.float32)
+    out = decode_scl_pallas(
+        llr, info, 4, "0x1864CFB", block_batch=B, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["best_path_bits"]), np.asarray(ref.best_path_bits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["crc_pass"]), np.asarray(ref.crc_pass)
+    )
