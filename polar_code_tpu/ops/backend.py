@@ -40,8 +40,10 @@ def resolve_backend(
     """Return "pallas" or "xla" for a decode of the given shape.
 
     When the code shape (N, K) is supplied, kernel eligibility also checks
-    the kernel's VMEM footprint against the per-core budget (e.g. N=1024
-    M=8 needs ~18 MB > 16 MB VMEM and must run on the XLA path)."""
+    the kernel's VMEM footprint against the per-core budget.  Under the
+    lazy-clone kernel every (N ≤ 1024, M ≤ 8) shape fits — N=1024 M=8 via
+    auto-engaged exact bf16 bit planes — so this gate now only trips for
+    shapes beyond the supported range."""
 
     if backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown backend: {backend}")

@@ -298,7 +298,7 @@ def _kernel_body(
     *,
     N: int, M: int, K: int, use_crc: bool, bit_dtype=jnp.float32,
     packed_sort: bool = True, loop_unroll: int = 2, static_tables=None,
-    has_force: bool = True, lazy_clone: bool = True,
+    has_force: bool = True, lazy_clone: bool = True, gchunk: int = 128,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -378,6 +378,50 @@ def _kernel_body(
             outs.append(vals[0])
         return jnp.stack(outs, axis=0)
 
+    def combine_store(cur0, s):
+        """XOR-combine chain from the leaf down to store level s.
+
+        Small spans build the result as one concat value (cheapest — the
+        common case, chain length = trailing-ones of the phase, avg O(1)).
+        Wide spans (> 128 rows, reached ~3 phases per decode at N≥512)
+        fill the destination rows incrementally back-to-front, reading the
+        already-written suffix back from VMEM in 128-row chunks — this
+        bounds the chain's stack temporaries (a [M, N/2, BT] concat value
+        at the level-1 store is what pushed P(1024,512) M=8 past the
+        scoped-VMEM cap).
+        """
+
+        if "propagate" in _ABLATE:
+            return
+        span = N >> s
+        if span <= _GCHUNK:
+            cur = cur0.astype(bit_dtype)  # 0/1 values: exact in bf16
+            for level in range(n, s, -1):
+                left = sig_gather(bstate_ref[:, brows(level), :], sbi(level))
+                xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
+                cur = jnp.concatenate([xor, cur], axis=1)
+            bstate_ref[:, brows(s), :] = cur
+        else:
+            o0 = off[s]
+            two = jnp.asarray(2.0, bit_dtype)
+            bstate_ref[:, o0 + span - 1 : o0 + span, :] = cur0.astype(bit_dtype)
+            L = 1
+            for level in range(n, s, -1):
+                for c0 in range(0, L, _GCHUNK):
+                    ch = min(_GCHUNK, L - c0)
+                    left = sig_gather(
+                        bstate_ref[:, off[level] + c0 : off[level] + c0 + ch, :],
+                        sbi(level),
+                    )
+                    suf = bstate_ref[
+                        :, o0 + span - L + c0 : o0 + span - L + c0 + ch, :
+                    ]
+                    bstate_ref[
+                        :, o0 + span - 2 * L + c0 : o0 + span - 2 * L + c0 + ch, :
+                    ] = left + suf - two * left * suf
+                L *= 2
+        sig_reset(sbi(s))
+
     def propagate(phase, cur0, smax=None):
         """Partial-sum combine chain, specialized per store level.
 
@@ -394,13 +438,7 @@ def _kernel_body(
         for s in range((n if smax is None else smax), 0, -1):
             @pl.when(store_ref[phase * (n + 1) + s] == 1)
             def _(s=s):
-                cur = cur0.astype(bit_dtype)  # 0/1 values: exact in bf16
-                for level in range(n, s, -1):
-                    left = sig_gather(bstate_ref[:, brows(level), :], sbi(level))
-                    xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
-                    cur = jnp.concatenate([xor, cur], axis=1)
-                bstate_ref[:, brows(s), :] = cur
-                sig_reset(sbi(s))
+                combine_store(cur0, s)
 
     def _parent_halves(level, g_read=False):
         # g_read: the caller is the g-update at the top of a phase's
@@ -433,11 +471,11 @@ def _kernel_body(
         if level < n:
             sig_reset(sli(level))
 
-    # Wide g-updates run in row chunks in lazy mode so the σ-gather
-    # temporaries stay bounded (~3 × [M, 128, BT] instead of full
-    # [M, N/2, BT] plane values) — this is what keeps P(1024,512) M=8
-    # inside the VMEM budget.
-    _GCHUNK = 128
+    # Wide g-updates and combine chains run in row chunks in lazy mode so
+    # their σ-gather/stack temporaries stay bounded (~3 × [M, gchunk, BT]
+    # instead of full [M, N/2, BT] plane values) — this is what keeps
+    # P(1024,512) M=8 inside the VMEM budget (64-row chunks there).
+    _GCHUNK = gchunk
 
     def _apply_g(level, ret=False):
         if "fg" in _ABLATE:
@@ -678,6 +716,8 @@ def _kernel_body(
             info_leaf(phase, infoidx_ref[phase], leaf, store_fn)
 
     def store_even(cur0):
+        if "propagate" in _ABLATE:
+            return
         bstate_ref[:, brows(n), :] = cur0.astype(bit_dtype)
         sig_reset(sbi(n))
 
@@ -716,15 +756,9 @@ def _kernel_body(
             s = s_lvls[0] if s_lvls else None
 
             def store_fn(cur0, s=s):
-                if s is None or "propagate" in _ABLATE:
+                if s is None:
                     return
-                cur = cur0.astype(bit_dtype)
-                for level in range(n, s, -1):
-                    left = sig_gather(bstate_ref[:, brows(level), :], sbi(level))
-                    xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
-                    cur = jnp.concatenate([xor, cur], axis=1)
-                bstate_ref[:, brows(s), :] = cur
-                sig_reset(sbi(s))
+                combine_store(cur0, s)
 
             if stat_frozen[phase]:
                 frozen_leaf(leaf, store_fn)
@@ -779,20 +813,10 @@ def _kernel_body(
                     else:
                         s = n - ones
 
-                        def store_static(cur0, s=s):
-                            if "propagate" in _ABLATE:
-                                return
-                            cur = cur0.astype(bit_dtype)
-                            for level in range(n, s, -1):
-                                left = sig_gather(
-                                    bstate_ref[:, brows(level), :], sbi(level)
-                                )
-                                xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
-                                cur = jnp.concatenate([xor, cur], axis=1)
-                            bstate_ref[:, brows(s), :] = cur
-                            sig_reset(sbi(s))
-
-                        leaf_step(p, store_static, leaf=leaf)
+                        leaf_step(
+                            p, lambda cur0, s=s: combine_store(cur0, s),
+                            leaf=leaf,
+                        )
 
         jax.lax.fori_loop(0, N // U, u_body, None)
     else:
@@ -927,7 +951,7 @@ def _build_kernel_for(
     info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int,
     interpret: bool, bit_dtype_name: str = "float32", packed_sort: bool = True,
     loop_unroll: int = 2, full_unroll: bool = False, has_force: bool = True,
-    lazy_clone: bool = True,
+    lazy_clone: bool = True, gchunk: int = 128,
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
@@ -943,7 +967,7 @@ def _build_kernel_for(
     kernel = functools.partial(
         _kernel_body, N=N, M=M, K=K, use_crc=crc is not None, bit_dtype=bit_dtype,
         packed_sort=packed_sort, loop_unroll=loop_unroll, static_tables=static_tables,
-        has_force=has_force, lazy_clone=lazy_clone,
+        has_force=has_force, lazy_clone=lazy_clone, gchunk=gchunk,
     )
 
     dummy = np.zeros(1, np.int32)
@@ -996,6 +1020,21 @@ def _build_kernel_for(
         pltpu.VMEM((M, deg, BT) if use_syn else (1, 1, BT), jnp.float32),
     ]
 
+    # The TPU's default *scoped*-VMEM cap is 16 MiB — a compiler setting,
+    # not the physical VMEM (measured: a 100 MB scratch kernel compiles
+    # and runs on this v5e with a raised cap).  Shapes whose estimated
+    # footprint approaches the default get an explicit raised limit
+    # (2× the estimate for model slack); small shapes keep the default
+    # compile exactly as tuned.
+    need = kernel_vmem_bytes(
+        N, K, M, BT, bit_dtype, lazy_clone=lazy_clone, gchunk=gchunk
+    )
+    extra = {}
+    if need > int(14 * 2**20):
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * need, int(110 * 2**20))
+        )
+
     def run(llr_t: jnp.ndarray, forced_t: jnp.ndarray):
         B = llr_t.shape[1]
         gs = pltpu.PrefetchScalarGridSpec(
@@ -1014,6 +1053,7 @@ def _build_kernel_for(
                 jax.ShapeDtypeStruct((1, B), jnp.int32),
             ],
             interpret=interpret,
+            **extra,
         )(
             *(jnp.asarray(p) for p in prefetch),
             llr_t, forced_t, jnp.asarray(hc_arr),
@@ -1023,17 +1063,19 @@ def _build_kernel_for(
     return run
 
 
-# v5e VMEM is ~16 MiB/core; leave headroom for Mosaic temporaries and the
-# double-buffered input/output blocks the pipeline keeps in flight.  Under
-# lazy clone every shape up to P(1024,512) M=8 fits at f32 (model estimate
-# ≈13.2 MB); the legacy fork-clone mode doubles the plane term (in-place
-# permutation stack copies) and N=1024 M=8 (~19.3 MB) must route to XLA.
-VMEM_BUDGET_BYTES = int(15.75 * 2**20)
+# The hardware's scoped-VMEM default cap is 16 MiB, but that is a compiler
+# setting, not the physical VMEM: this v5e compiles and runs a 100 MB
+# scratch kernel once `vmem_limit_bytes` is raised (done automatically in
+# `_build_kernel_for` for shapes whose estimate approaches the default).
+# The budget below is the routing gate for the XLA fallback — set near the
+# physical ceiling with headroom for the pipeline's block double-buffers.
+# Every (N ≤ 1024, M ≤ 8) shape fits in-kernel at f32.
+VMEM_BUDGET_BYTES = int(96 * 2**20)
 
 
 def kernel_vmem_bytes(
     N: int, K: int, M: int, BT: int = 128, bit_dtype=jnp.float32,
-    *, lazy_clone: bool = True, crc_deg: int = 24,
+    *, lazy_clone: bool = True, crc_deg: int = 24, gchunk: int = 128,
 ) -> int:
     """Estimated scoped-VMEM footprint of one kernel program.
 
@@ -1063,14 +1105,14 @@ def kernel_vmem_bytes(
     bit_planes = M * pad(n_state, bit_pad) * BT * bit_isz  # partial sums
     if lazy_clone and M > 1:
         b = llr_planes + bit_planes
-        # σ-gather temporaries: wide g-updates are 128-row-chunked, so
+        # σ-gather temporaries: wide g-updates are gchunk-row-chunked, so
         # the peak is ~3 gathered chunks in flight
-        b += 3 * M * min(pad(N >> 1), 128) * BT * 4
-        # the level-1 partial-sum combine chain accumulates a full
-        # [M, N/2, BT] value in bit_dtype (calibrated: hardware reports
-        # 16.50 MB scoped for N=1024 M=8 f32 — this term closes the gap
-        # and routes that shape to bf16 bit planes, which fit)
-        b += M * pad(N >> 1, bit_pad) * BT * bit_isz
+        b += 3 * M * min(pad(N >> 1), gchunk) * BT * 4
+        # combine-chain temporaries: wide store levels fill the
+        # destination incrementally in gchunk-row pieces (an unchunked
+        # [M, N/2, BT] concat value measured 16.50 MB scoped at
+        # N=1024 M=8 f32, over the 16 MB cap)
+        b += M * min(pad(N >> 1, bit_pad), gchunk) * BT * bit_isz
         b += M * pad(2 * n - 1) * BT * 4    # σ maps
     else:
         b = 2 * (llr_planes + bit_planes)   # resident + clone temporaries
@@ -1086,19 +1128,40 @@ def kernel_vmem_bytes(
     return b
 
 
+def _fit_config(N: int, K: int, M: int, BT: int = 128, *, lazy_clone: bool = True):
+    """(bit_dtype, gchunk) that fits the VMEM budget, or None.
+
+    Preference order: f32 with 128-row chunks (measured fastest), f32
+    with 64-row chunks (tighter temporaries — how P(1024,512) M=8 fits;
+    only the ~3 widest levels are touched, so the cost is negligible),
+    then bf16 bit planes at each chunking.  NB the hardware's scoped-vmem
+    accounting showed bf16 *adding* ~2.5 MB of conversion/tiling
+    temporaries at N=1024 (19.0 vs 16.5 MB) — chunk shrinking is the
+    effective lever, bf16 the fallback.
+    """
+
+    for dt, gc in (
+        (jnp.float32, 128), (jnp.float32, 64),
+        (jnp.bfloat16, 128), (jnp.bfloat16, 64),
+    ):
+        if (
+            kernel_vmem_bytes(N, K, M, BT, dt, lazy_clone=lazy_clone, gchunk=gc)
+            <= VMEM_BUDGET_BYTES
+        ):
+            return dt, gc
+    return None
+
+
 def kernel_fit_dtype(
     N: int, K: int, M: int, BT: int = 128, *, lazy_clone: bool = True
 ):
-    """Bit-plane dtype that fits the VMEM budget at this shape: f32 (the
-    measured-fastest default), else bf16 (numerically EXACT for the 0/1
-    partial-sum planes, halving their footprint), else None (route to the
-    XLA decoder).  Under lazy clone, f32 fits through P(1024,512) M=8."""
+    """Bit-plane dtype that fits the VMEM budget at this shape (f32 —
+    the measured-fastest default — else exact bf16), or None (route to
+    the XLA decoder).  Under lazy clone, f32 fits through P(1024,512)
+    M=8 (with 64-row temporary chunking, see `_fit_config`)."""
 
-    if kernel_vmem_bytes(N, K, M, BT, jnp.float32, lazy_clone=lazy_clone) <= VMEM_BUDGET_BYTES:
-        return jnp.float32
-    if kernel_vmem_bytes(N, K, M, BT, jnp.bfloat16, lazy_clone=lazy_clone) <= VMEM_BUDGET_BYTES:
-        return jnp.bfloat16
-    return None
+    cfg = _fit_config(N, K, M, BT, lazy_clone=lazy_clone)
+    return None if cfg is None else cfg[0]
 
 
 def _default_block(M: int, B: int, N: int = 128, K: int = 64) -> int:
@@ -1178,10 +1241,18 @@ def decode_scl_pallas(
         lazy_clone = M > 1
     if block_batch is None:
         block_batch = _default_block(M, B, N, K)
+    fit = _fit_config(N, K, M, block_batch, lazy_clone=lazy_clone)
     if bit_dtype is None:
-        bit_dtype = (
-            kernel_fit_dtype(N, K, M, block_batch, lazy_clone=lazy_clone)
-            or jnp.float32
+        bit_dtype = jnp.float32 if fit is None else fit[0]
+        gchunk = 128 if fit is None else fit[1]
+    else:
+        gchunk = (
+            128
+            if kernel_vmem_bytes(
+                N, K, M, block_batch, bit_dtype,
+                lazy_clone=lazy_clone, gchunk=128,
+            ) <= VMEM_BUDGET_BYTES
+            else 64
         )
     if packed_sort is None:
         # measured: sublane-packed bitonic wins ~1-1.5% at M>=4 (16/8-row
@@ -1207,7 +1278,9 @@ def decode_scl_pallas(
         raise ValueError("loop_unroll must be a power of two <= N")
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
-    need = kernel_vmem_bytes(N, K, M, block_batch, bit_dtype, lazy_clone=lazy_clone)
+    need = kernel_vmem_bytes(
+        N, K, M, block_batch, bit_dtype, lazy_clone=lazy_clone, gchunk=gchunk
+    )
     if not interpret and need > VMEM_BUDGET_BYTES:
         raise ValueError(
             f"SCL kernel state for N={N} K={K} M={M} block_batch={block_batch} "
@@ -1221,7 +1294,7 @@ def decode_scl_pallas(
     run = _build_kernel_for(
         tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret,
         jnp.dtype(bit_dtype).name, packed_sort, loop_unroll, full_unroll,
-        has_force, lazy_clone,
+        has_force, lazy_clone, gchunk,
     )
     llr_t = llr.T.astype(jnp.float32)  # [N, B]
     if has_force:

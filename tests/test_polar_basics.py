@@ -92,13 +92,13 @@ def test_kernel_vmem_estimate_gates_backend():
         kernel_vmem_bytes,
     )
 
-    # the flagship config fits comfortably; under lazy clone (default)
-    # even N=1024 M=8 fits at f32, while the legacy fork-clone mode's
-    # doubled plane term (~19.3 MB vs ~16 MB of VMEM) must route to XLA
+    # every supported shape through N=1024 M=8 fits in-kernel (the 16 MiB
+    # scoped-VMEM default is a compiler cap the kernel raises as needed);
+    # the routing gate still trips near the physical ceiling
     assert kernel_vmem_bytes(128, 64, 8) <= VMEM_BUDGET_BYTES
     assert kernel_vmem_bytes(512, 280, 8) <= VMEM_BUDGET_BYTES
     assert kernel_vmem_bytes(1024, 512, 8) <= VMEM_BUDGET_BYTES
-    assert kernel_vmem_bytes(1024, 512, 8, lazy_clone=False) > VMEM_BUDGET_BYTES
+    assert kernel_vmem_bytes(8192, 4096, 8) > VMEM_BUDGET_BYTES
     # monotone in every argument
     assert kernel_vmem_bytes(256, 128, 4) < kernel_vmem_bytes(512, 128, 4)
     assert kernel_vmem_bytes(256, 128, 4) < kernel_vmem_bytes(256, 128, 8)
