@@ -71,6 +71,27 @@ def main() -> None:
     )
     rows.append(("SCL XLA graph", "M=8", f"{tx*1e3:.1f}", f"{B/tx:,.0f}"))
 
+    # Codes beyond the reference's N=128 (gaussian_bitrev construction)
+    large_rows = []
+    for (n_code, m_list) in ((256, 8), (512, 8), (1024, 8), (1024, 4)):
+        k_code = n_code // 2
+        info_l = construct_info_set(n_code, k_code, method="gaussian_bitrev")
+        llr_l = jnp.asarray(
+            rng.normal(0, 5, size=(B, n_code)), jnp.float32
+        )
+        t = timed(
+            jax.jit(
+                lambda x, i=info_l, m=m_list: decode_scl_pallas(
+                    x, i, m, cfg.crc_poly
+                )["crc_pass"]
+            ),
+            llr_l,
+        )
+        large_rows.append(
+            (f"SCL kernel P({n_code},{k_code})", f"M={m_list}",
+             f"{t*1e3:.1f}", f"{B/t:,.0f}")
+        )
+
     out = Path("results/bench_kernels.md")
     with out.open("w") as f:
         f.write(
@@ -80,6 +101,12 @@ def main() -> None:
             "| stage | cfg | ms/batch | frames/s |\n|---|---|---|---|\n"
         )
         for r in rows:
+            f.write("| " + " | ".join(r) + " |\n")
+        f.write(
+            "\n## Larger codes (lazy-clone kernel, gaussian_bitrev)\n\n"
+            "| stage | cfg | ms/batch | frames/s |\n|---|---|---|---|\n"
+        )
+        for r in large_rows:
             f.write("| " + " | ".join(r) + " |\n")
     print(out.read_text())
 
