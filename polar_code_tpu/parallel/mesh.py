@@ -181,6 +181,12 @@ def maybe_distributed_init() -> bool:
         # handshake has a ~30 s internal deadline — under CPU contention the
         # compile-time skew between processes can exceed it and abort the
         # job with "Gloo context initialization failed: DEADLINE_EXCEEDED".
+        # The same deadline also bites at STARTUP when process launch skew
+        # exceeds 30 s (seen under xdist-parallel test runs), so first
+        # align everyone with a coordination-service barrier — plain gRPC
+        # with a generous explicit timeout — and only then form the
+        # collective context.
+        sync_processes("pre_warmup_align")
         sync_processes("collective_init_warmup", collective=True)
     return jax.process_count() > 1
 
