@@ -40,8 +40,15 @@ def _worker_env() -> dict:
 
 
 def _launch(extra_args, out_dir, plot_dir, devices_per_proc):
+    # This box can be as small as 2 cores; under xdist-parallel runs the
+    # other workers' compiles can starve a cluster process for >30 s —
+    # longer than Gloo's hardcoded context-formation deadline.  Being
+    # root, give the cluster processes scheduling priority so the
+    # rendezvous window stays short.
+    nice = ["nice", "-n", "-5"] if os.geteuid() == 0 else []
     return subprocess.Popen(
         [
+            *nice,
             sys.executable, str(WORKER),
             "--devices_per_proc", str(devices_per_proc),
             "--out_dir", str(out_dir),
@@ -68,9 +75,10 @@ def test_two_process_sweep_matches_single_process(tmp_path):
     assert p.returncode == 0, f"single-process worker failed:\n{out}"
 
     # 2 processes × 4 devices over jax.distributed (env-var init path).
-    # _free_port is inherently racy (bound, closed, reused later), so retry
-    # once on a fresh port before declaring failure.
-    for attempt in range(2):
+    # _free_port is inherently racy (bound, closed, reused later) and CPU
+    # starvation under parallel test runs can trip Gloo's 30 s context
+    # deadline, so retry on a fresh port before declaring failure.
+    for attempt in range(3):
         port = _free_port()
         coord = f"127.0.0.1:{port}"
         procs = [
@@ -121,7 +129,7 @@ def test_two_process_snr_split_matches_single_process(tmp_path):
     out, _ = p.communicate(timeout=900)
     assert p.returncode == 0, f"single-process worker failed:\n{out}"
 
-    for attempt in range(2):
+    for attempt in range(3):
         port = _free_port()
         coord = f"127.0.0.1:{port}"
         procs = [
