@@ -191,7 +191,7 @@ def decode_ldpc_nms_pallas(
     alpha: float = 0.8,
     *,
     self_exclude: bool = False,
-    block_batch: int = 256,
+    block_batch: int = 128,
     interpret: bool = False,
 ) -> dict:
     """Fused-kernel layered NMS.  llr: [B, n] → same dict as the XLA path.

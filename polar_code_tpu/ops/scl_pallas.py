@@ -1255,9 +1255,11 @@ def decode_scl_pallas(
             else 64
         )
     if packed_sort is None:
-        # measured: sublane-packed bitonic wins ~1-1.5% at M>=4 (16/8-row
-        # networks); at M=1 the 2-row rolls cost more than row comparators
-        packed_sort = M >= 4
+        # re-measured at device resolution post-lazy-clone (2026-08-21,
+        # interleaved min-of-rounds, 65536 frames): packed wins only the
+        # 16-row M=8 network (+1.3%); M=4 is a wash (0.990 — batcher
+        # marginally ahead) and M=2 prefers batcher by 2.9%
+        packed_sort = M >= 8
     if full_unroll is None:
         # measured on v5e: +6-9% at N=128 (~46 s first compile), but NO
         # speedup at N=256 (13.34 vs 13.39 ms) for a ~10× compile cost —

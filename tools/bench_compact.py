@@ -1,6 +1,6 @@
-"""Device-side retry-compaction timing: FER chunk M=8 at 5 dB on one chip.
+"""Device-side retry-compaction timing: FER chunk M=8 on one chip.
 
-    python tools/bench_compact.py
+    python tools/bench_compact.py [batch] [compacts-csv]
 """
 
 import sys
@@ -24,12 +24,14 @@ enable_compilation_cache()  # the compact chunk graphs cost ~2 min to compile
 cfg = config.DEFAULTS
 info = construct_info_set(cfg.N, cfg.K)
 beta = np.load(str(Path(__file__).resolve().parent.parent / "checkpoints/beta_M8.npy"))
-B = 8192
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
 M, retries = 8, 8
 root = make_key(0)
 
 fns = {}
-for compact in [0, 128, 256, 512, 1024]:
+compacts = ([int(x) for x in sys.argv[2].split(',')]
+            if len(sys.argv) > 2 else [0, 128, 256, 512, 1024])
+for compact in compacts:
     fns[compact] = make_fer_chunk(N=cfg.N, K=cfg.K, crc_poly=cfg.crc_poly, info_set=info,
                                   M=M, retries=retries, beta=beta, batch=B, compact=compact)
 for snr in [4.0, 5.0, 6.0]:
