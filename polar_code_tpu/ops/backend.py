@@ -41,9 +41,10 @@ def resolve_backend(
 
     When the code shape (N, K) is supplied, kernel eligibility also checks
     the kernel's VMEM footprint against the per-core budget.  Under the
-    lazy-clone kernel every (N ≤ 1024, M ≤ 8) shape fits — N=1024 M=8 via
-    auto-engaged exact bf16 bit planes — so this gate now only trips for
-    shapes beyond the supported range."""
+    lazy-clone kernel every (N ≤ 1024, M ≤ 8) shape fits at plain f32 —
+    N=1024 M=8 included (bf16 bit planes remain an explicit option, never
+    auto-selected) — so this gate now only trips for shapes beyond the
+    supported range."""
 
     if backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown backend: {backend}")

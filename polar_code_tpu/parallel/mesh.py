@@ -223,6 +223,14 @@ def sync_processes(
     runs) can exceed.  ``collective=True`` instead runs a real device
     collective (`sync_global_devices`) — what the post-init warm-up needs,
     since its whole point is forming the Gloo context.
+
+    The barrier choice must be all-or-none across processes: if some
+    processes waited at the coordination-service barrier while others ran
+    the device collective, the mismatched rendezvous would hang until the
+    timeout.  The coordination client is process-global state created by
+    `jax.distributed.initialize`, so in multi-process mode its absence on
+    THIS process means it is (or will be) absent everywhere it matters —
+    we fail fast with a RuntimeError rather than fall back per-process.
     """
 
     if jax.process_count() <= 1:
@@ -232,16 +240,24 @@ def sync_processes(
             from jax._src.distributed import global_state
 
             client = global_state.client
-        except Exception:
-            client = None
-        if client is not None:
-            # coordination-service barrier ids are single-use: suffix a
-            # per-tag sequence number so repeated sweeps in one process
-            # (e.g. resume tests) get fresh barriers
-            seq = _BARRIER_SEQ.get(tag, 0)
-            _BARRIER_SEQ[tag] = seq + 1
-            client.wait_at_barrier(f"{tag}_{seq}", int(timeout_s * 1000))
-            return
+        except Exception as exc:
+            raise RuntimeError(
+                "sync_processes: multi-process run but the distributed "
+                "coordination client is unavailable (jax internals moved?) "
+                "— call sync_processes(collective=True) everywhere instead"
+            ) from exc
+        if client is None:
+            raise RuntimeError(
+                "sync_processes: process_count > 1 but no coordination "
+                "client — was jax.distributed.initialize skipped?"
+            )
+        # coordination-service barrier ids are single-use: suffix a
+        # per-tag sequence number so repeated sweeps in one process
+        # (e.g. resume tests) get fresh barriers
+        seq = _BARRIER_SEQ.get(tag, 0)
+        _BARRIER_SEQ[tag] = seq + 1
+        client.wait_at_barrier(f"{tag}_{seq}", int(timeout_s * 1000))
+        return
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(tag)
