@@ -474,7 +474,8 @@ def _kernel_body(
     # Wide g-updates and combine chains run in row chunks in lazy mode so
     # their σ-gather/stack temporaries stay bounded (~3 × [M, gchunk, BT]
     # instead of full [M, N/2, BT] plane values) — this is what keeps
-    # P(1024,512) M=8 inside the VMEM budget (64-row chunks there).
+    # P(1024,512) M=8 inside the VMEM budget (128-row chunks; an
+    # unchunked combine value alone measured 16.5 MB scoped there).
     _GCHUNK = gchunk
 
     def _apply_g(level, ret=False):
@@ -1131,34 +1132,32 @@ def kernel_vmem_bytes(
 def _fit_config(N: int, K: int, M: int, BT: int = 128, *, lazy_clone: bool = True):
     """(bit_dtype, gchunk) that fits the VMEM budget, or None.
 
-    Preference order: f32 with 128-row chunks (measured fastest), f32
-    with 64-row chunks (tighter temporaries — how P(1024,512) M=8 fits;
-    only the ~3 widest levels are touched, so the cost is negligible),
-    then bf16 bit planes at each chunking.  NB the hardware's scoped-vmem
-    accounting showed bf16 *adding* ~2.5 MB of conversion/tiling
-    temporaries at N=1024 (19.0 vs 16.5 MB) — chunk shrinking is the
-    effective lever, bf16 the fallback.
+    Since the budget was raised to the measured physical ceiling (96 MiB),
+    the f32 / 128-row-chunk configuration — the measured-fastest one, and
+    the one every committed on-chip number was taken with — fits whenever
+    anything does, so it is the single auto-selected tier.  Historical
+    fallbacks (64-row chunks, bf16 bit planes) were only ever reachable
+    under the old 16 MiB default cap; bf16 in fact *added* ~2.5 MB of
+    conversion/tiling temporaries at N=1024 (19.0 vs 16.5 MB scoped) and
+    survives only as an explicit `bit_dtype` option.
     """
 
-    for dt, gc in (
-        (jnp.float32, 128), (jnp.float32, 64),
-        (jnp.bfloat16, 128), (jnp.bfloat16, 64),
+    if (
+        kernel_vmem_bytes(
+            N, K, M, BT, jnp.float32, lazy_clone=lazy_clone, gchunk=128
+        )
+        <= VMEM_BUDGET_BYTES
     ):
-        if (
-            kernel_vmem_bytes(N, K, M, BT, dt, lazy_clone=lazy_clone, gchunk=gc)
-            <= VMEM_BUDGET_BYTES
-        ):
-            return dt, gc
+        return jnp.float32, 128
     return None
 
 
 def kernel_fit_dtype(
     N: int, K: int, M: int, BT: int = 128, *, lazy_clone: bool = True
 ):
-    """Bit-plane dtype that fits the VMEM budget at this shape (f32 —
-    the measured-fastest default — else exact bf16), or None (route to
-    the XLA decoder).  Under lazy clone, f32 fits through P(1024,512)
-    M=8 (with 64-row temporary chunking, see `_fit_config`)."""
+    """f32 if the shape fits the VMEM budget (the only auto tier — see
+    `_fit_config`), or None (route to the XLA decoder).  Under lazy
+    clone, f32/128-row-chunks fits through P(1024,512) M=8 and beyond."""
 
     cfg = _fit_config(N, K, M, BT, lazy_clone=lazy_clone)
     return None if cfg is None else cfg[0]
@@ -1218,8 +1217,9 @@ def decode_scl_pallas(
     bit_dtype: storage dtype of the partial-sum planes.  They hold 0/1
     values only, so ``jnp.bfloat16`` is numerically EXACT (decisions are
     bit-identical to f32) while halving the bit-plane clone-gather bytes.
-    Default None = auto: f32 (measured fastest) unless the shape only fits
-    the VMEM budget at bf16 (e.g. N=1024 M=8), which then engages.
+    Default None = auto: always f32 (measured fastest; under lazy clone
+    every supported shape incl. N=1024 M=8 fits the VMEM budget at f32 —
+    bf16 is never auto-selected, it remains an explicit option).
 
     loop_unroll: phases per iteration of the (non-full-unroll) phase loop
     (power of two).  All but two dispatch points per block are static —
@@ -1261,21 +1261,27 @@ def decode_scl_pallas(
         # marginally ahead) and M=2 prefers batcher by 2.9%
         packed_sort = M >= 8
     if full_unroll is None:
-        # measured on v5e: +6-9% at N=128 (~46 s first compile), but NO
-        # speedup at N=256 (13.34 vs 13.39 ms) for a ~10× compile cost —
-        # the loop form's branch dispatch amortizes over the wider rows.
+        # lazy-clone-era A/B (2026-08-21, 65536 frames/call, interleaved
+        # min-of-rounds): full unroll still wins at N=128, but at N=256 it
+        # LOSES to the U=32 loop at M=8 (52.8 vs 50.0 ms) and is a wash at
+        # M=4 (28.3 vs 28.4) — for a ~30× compile cost.  The loop form's
+        # branch dispatch amortizes over the wider rows.
         full_unroll = not interpret and N <= 128
     if loop_unroll is None:
-        # device-time A/Bs at 64k frames/call (min-of-interleaved-rounds):
-        # U=8 wins the loop form at every large shape — N=256 M=8
-        # 77.3 ms vs 83.0 (U=2), N=512 M=8 255 vs 268, N=1024 M=4 291 vs
-        # 321.  Bigger U regresses where the program outgrows i-cache
-        # (N=512 U=16: 555 ms).  Interpret mode keeps the cheap-tracing
-        # pair unroll.
+        # lazy-clone-era U-scan (2026-08-21, 65536 frames/call, min-of-
+        # interleaved-rounds): throughput rises monotonically to U=32 at
+        # every large shape — N=256 M=8 57.4/51.5/50.1 ms (U=2/8/32),
+        # N=512 M=8 115.1/102.6/98.1, N=1024 M=8 205/199 (U=8/32), M=4
+        # gains are larger still (N=512 65.2→48.5).  The fork-clone-era
+        # "U=16 collapses at N=512" is obsolete — lazy clone shrank the
+        # loop body ~4×, so the i-cache cliff moved out to U=64 (N=1024
+        # M=8: 290 ms).  U=32 is within ~1% of best in every measured
+        # cell and safely below the cliff.  Interpret mode keeps the
+        # cheap-tracing pair unroll.
         if not pair_unroll:
             loop_unroll = 1
         else:
-            loop_unroll = 8 if (not interpret and N > 128) else 2
+            loop_unroll = 32 if (not interpret and N > 128) else 2
     if loop_unroll < 1 or (loop_unroll & (loop_unroll - 1)) or loop_unroll > N:
         raise ValueError("loop_unroll must be a power of two <= N")
     if B % block_batch:
