@@ -127,6 +127,7 @@ def parse_shift_table(text: str) -> np.ndarray:
     ``row,col,V0,V1,...,V7`` — one coefficient per iLS set — or
     ``row,col,V`` — a single (pre-reduced or Zmax-form) coefficient,
     broadcast to all 8 sets.  Whitespace-separated fields also accepted.
+    A leading non-numeric header line (``row,col,V0,...``) is skipped.
     Returns V as int32 [m, n, 8] with −1 for absent edges; m, n inferred
     from the maximum indices.
     """
@@ -137,6 +138,8 @@ def parse_shift_table(text: str) -> np.ndarray:
         if not line:
             continue
         parts = [p for p in line.replace(",", " ").split() if p]
+        if not edges and parts and not parts[0].lstrip("-").isdigit():
+            continue  # CSV header line
         if len(parts) not in (3, 10):
             raise ValueError(
                 f"line {lineno}: expected 'row col V' or 'row col V0..V7', "

@@ -150,3 +150,28 @@ def test_bg_dims_guard():
     V = parse_shift_table("0 0 1\n")
     with pytest.raises(ValueError, match="BG1 is 46x68"):
         base_graph_from_table(V, 8, bg=1)
+
+
+def test_example_bg2_shape_csv():
+    """The committed drop-in example (docs/bg_dropin/) is a full BG2-layout
+    table: loads with the bg=2 dimension guard, encodes invertibly at two
+    lifting sizes, and decodes near-noiselessly."""
+
+    path = "docs/bg_dropin/example_bg2_shape.csv"
+    for Z in (4, 16):
+        bg = load_base_graph_file(path, Z, bg=2)
+        assert (bg.m, bg.n) == (42, 52)
+        # spec structure: identity extension, one shift-0 entry per row r>=4
+        for r in range(4, 42):
+            assert bg.shifts[r, 10 + r] == 0
+            assert (bg.shifts[r, 10 + r + 1 :] == -1).all()
+        H = build_h_matrix(bg, Z)
+        k = 10 * Z
+        rng = np.random.default_rng(Z)
+        payloads = rng.integers(0, 2, size=(4, k)).astype(np.int8)
+        cws = np.stack([encode_ldpc(p, H) for p in payloads])
+        assert not ((cws @ H.T) % 2).any()
+        llr = jnp.asarray((1.0 - 2.0 * cws) * 8.0, jnp.float32)
+        out = decode_ldpc_nms_batch(llr, H, max_iter=5, alpha=0.8, dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out["hard"]), cws)
+        assert bool(np.asarray(out["parity_ok"]).all())
