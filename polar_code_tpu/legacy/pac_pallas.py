@@ -7,15 +7,25 @@ decision), [good×L, bad×L] stable candidate layout, CRC-first-else-best
 selection.
 
 Kernel structure mirrors `ops/scl_pallas.py` (schedule-table-driven
-`fori_loop`, liveness-restricted clone-by-gather, Batcher network,
-trace backtracking) with three deltas:
+`fori_loop`, σ-map lazy clone — fork-time clone-by-gather kept as
+`lazy_clone=False` — Batcher network, trace backtracking) with three
+deltas:
 
 * the channel LLRs arrive bit-reversal-permuted (adjacent-pair butterfly ≡
   halves butterfly on permuted input),
 * a per-path convolutional shift register ([L, mem, BT] in VMEM) supplies
-  the edge bit; partial sums propagate edge (u-domain) bits,
+  the edge bit; partial sums propagate edge (u-domain) bits.  The conv
+  registers are always gathered physically at forks (mem ≲ 8 rows — far
+  cheaper than a σ indirection on every `conv_base`),
 * candidate metrics are `pm` (good branch: edge == hard) and `pm + |LLR|`
   (bad branch), so no transcendentals at all.
+
+Lazy clone (default for L > 1, round 4 — same scheme as the SCL kernel's,
+bit-identical to fork mode): per-level path-origin maps σ compose at each
+fork (σ ← σ[parent]); the g-update's parent-LLR/stored-bit reads and the
+combine chain's left-sibling reads gather through σ; level writes reset
+their σ row to identity.  O(N log N) data movement instead of the fork
+clone's O(N²) row-gathers.
 
 Output bits are in decode (phase) order; the wrapper permutes them to the
 ascending-u extraction order of the reference API.
@@ -65,9 +75,12 @@ def _kernel_body(
                              # (dim-0 dynamic indexing stays slab-aligned)
     cbits_ref,               # [Kp, L, BT] f32 reconstructed candidates
     curidx_ref,              # [L, BT] f32
+    sig_ref,                 # [L, 2n-1, BT] f32 lazy-clone path-origin σ
+                             # maps (dummy [1, 1, BT] in fork mode / L=1)
     *,
     N: int, L: int, Kp: int, mem: int, taps: Tuple[int, ...], use_crc: bool,
     packed_sort: bool = False, pair_unroll: bool = True, static_tables=None,
+    lazy_clone: bool = True,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -92,6 +105,46 @@ def _kernel_body(
     sort_pairs_2l = _batcher_pairs(2 * L)
     sort_pairs_l = _batcher_pairs(L) if L > 1 else []
 
+    # --- lazy clone: per-level path-origin maps σ (ops/scl_pallas.py) ---
+    # One σ row per LLR level 1..n−1 and per partial-sum level 1..n;
+    # LLR level n is consumed at its own phase's leaf and needs no row.
+    lazy = lazy_clone and L > 1
+    n_sig = 2 * n - 1
+
+    def sli(level):  # σ row of LLR level (1..n−1)
+        return level - 1
+
+    def sbi(level):  # σ row of partial-sum level (1..n)
+        return (n - 1) + (level - 1)
+
+    if lazy:
+        sig_ref[...] = jax.lax.broadcasted_iota(
+            jnp.int32, (L, n_sig, BT), 0
+        ).astype(jnp.float32)
+
+    def sig_reset(row):
+        if lazy:
+            sig_ref[:, row : row + 1, :] = jax.lax.broadcasted_iota(
+                jnp.int32, (L, 1, BT), 0
+            ).astype(jnp.float32)
+
+    def sig_gather(rows, row):
+        """rows: [L, span, BT] → logical per-slot view rows[σ[m]]."""
+
+        if not lazy:
+            return rows
+        srcs = [rows[p] for p in range(L)]
+        outs = []
+        for m in range(L):
+            vals = srcs
+            for cond in _index_bits(sig_ref[m, row : row + 1, :], L):
+                vals = [
+                    jnp.where(cond, vals[2 * j + 1], vals[2 * j])
+                    for j in range(len(vals) // 2)
+                ]
+            outs.append(vals[0])
+        return jnp.stack(outs, axis=0)
+
     def conv_base():
         # parity of state · gen[1:] — edge bit for v = 0
         acc = None
@@ -114,11 +167,17 @@ def _kernel_body(
             shifted = v_bits[:, None, :]
         conv_ref[...] = shifted
 
-    def _parent_halves(level):
+    def _parent_halves(level, g_read=False):
+        # g_read: the g-update at the top of a phase's descent is the one
+        # LLR read that can cross fork boundaries — it gathers through σ
+        # in lazy mode.  f-reads consume rows written earlier in the same
+        # phase and never need it.
         half = N >> level
         if level == 1:
             return llr_ref[:half, :], llr_ref[half : 2 * half, :]
         parent = state_ref[:, lrows(level - 1), :]
+        if g_read:
+            parent = sig_gather(parent, sli(level - 1))
         return parent[:, :half, :], parent[:, half:, :]
 
     def _apply_f(level):
@@ -127,22 +186,30 @@ def _kernel_body(
         if f.ndim == 2:
             f = jnp.broadcast_to(f, (L, N >> level, BT))
         state_ref[:, lrows(level), :] = f
+        if level < n:
+            sig_reset(sli(level))
 
     def _apply_g(level):
-        a, b = _parent_halves(level)
-        c = state_ref[:, brows(level), :]
+        a, b = _parent_halves(level, g_read=True)
+        c = sig_gather(state_ref[:, brows(level), :], sbi(level))
         state_ref[:, lrows(level), :] = b + (1.0 - 2.0 * c) * a
+        if level < n:
+            sig_reset(sli(level))
+
+    def combine_store(cur0, s):
+        cur = cur0
+        for level in range(n, s, -1):
+            left = sig_gather(state_ref[:, brows(level), :], sbi(level))
+            xor = left + cur - 2.0 * left * cur
+            cur = jnp.concatenate([xor, cur], axis=1)
+        state_ref[:, brows(s), :] = cur
+        sig_reset(sbi(s))
 
     def propagate(phase, cur0, smax=None):
         for s in range((n if smax is None else smax), 0, -1):
             @pl.when(store_ref[phase * (n + 1) + s] == 1)
             def _(s=s):
-                cur = cur0
-                for level in range(n, s, -1):
-                    left = state_ref[:, brows(level), :]
-                    xor = left + cur - 2.0 * left * cur
-                    cur = jnp.concatenate([xor, cur], axis=1)
-                state_ref[:, brows(s), :] = cur
+                combine_store(cur0, s)
 
     def llr_update_branchy(phase, gmax):
         gl = glevel_ref[phase]
@@ -226,7 +293,12 @@ def _kernel_body(
             outs = tree_gather([state_ref[p, r0:r1, :] for p in range(L)])
             state_ref[:, r0:r1, :] = jnp.stack(outs, axis=0)
 
-        if live_static is not None:
+        if lazy:
+            # σ ← σ[parent]: one select-tree pass over the whole
+            # [L, 2n−1, BT] map block — the entire per-fork clone cost
+            outs = tree_gather([sig_ref[p] for p in range(L)])
+            sig_ref[...] = jnp.stack(outs, axis=0)
+        elif live_static is not None:
             for r0, r1 in live_static:  # statically-merged live row spans
                 gather_rows(r0, r1)
         else:
@@ -286,6 +358,7 @@ def _kernel_body(
 
     def store_even(cur0):
         state_ref[:, brows(n), :] = cur0
+        sig_reset(sbi(n))
 
     if static_tables is not None:
         # Fully-unrolled phase loop (see ops/scl_pallas.py): the schedule,
@@ -319,12 +392,7 @@ def _kernel_body(
             def store_fn(cur0, s=s):
                 if s is None:
                     return
-                cur = cur0
-                for level in range(n, s, -1):
-                    left = state_ref[:, brows(level), :]
-                    xor = left + cur - 2.0 * left * cur
-                    cur = jnp.concatenate([xor, cur], axis=1)
-                state_ref[:, brows(s), :] = cur
+                combine_store(cur0, s)
 
             leaf = state_ref[:, off[n] : off[n] + 1, :][:, 0, :]
             hard = jnp.where(leaf < 0.0, 1.0, 0.0)
@@ -418,7 +486,7 @@ def _kernel_body(
 @functools.lru_cache(maxsize=16)
 def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, interpret: bool,
            packed_sort: bool = False, pair_unroll: bool = True,
-           full_unroll: bool = True):
+           full_unroll: bool = True, lazy_clone: bool = True):
     mask = np.asarray(mask_key, dtype=np.int64)
     gen = list(gen_key)
     mem = len(gen) - 1
@@ -452,16 +520,37 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
         _kernel_body, N=N, L=L, Kp=Kp, mem=mem,
         taps=tuple(gen[1:]), use_crc=crc_len > 0,
         packed_sort=packed_sort, pair_unroll=pair_unroll,
-        static_tables=static_tables,
+        static_tables=static_tables, lazy_clone=lazy_clone,
     )
+    dummy = np.zeros(1, np.int32)
     if full_unroll:
-        prefetch = (np.zeros(1, np.int32),) * 6
+        prefetch = (dummy,) * 6
     else:
+        # liveness tables only drive the fork-time clone; lazy mode
+        # replaces them with σ maps and prefetches dummies
         prefetch = (
             glevel, store.reshape(-1), frozen, infoidx,
-            llr_live.reshape(-1), bit_live.reshape(-1),
+            dummy if lazy_clone else llr_live.reshape(-1),
+            dummy if lazy_clone else bit_live.reshape(-1),
         )
     n_state = 2 * (N - 1)
+    lazy = lazy_clone and L > 1
+    n_sig = max(2 * n - 1, 1)
+
+    # raise the scoped-VMEM cap for shapes near the 16 MiB compiler
+    # default (same pattern as ops/scl_pallas.py; the cap is a compiler
+    # setting, not hardware)
+    est = 4 * (
+        L * n_state * BT                       # state planes
+        + 2 * Kp * L * BT                      # tidx + cbits traces
+        + (L * n_sig * BT if lazy else L * n_state * BT)  # σ / clone copies
+        + 3 * L * BT + L * max(mem, 1) * BT
+    )
+    extra = {}
+    if est > int(14 * 2**20):
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * est, int(110 * 2**20))
+        )
 
     def run(llr_perm_t):
         B = llr_perm_t.shape[1]
@@ -483,6 +572,8 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
                 pltpu.VMEM((Kp, L, BT), jnp.float32),  # tidx (2·parent+v)
                 pltpu.VMEM((Kp, L, BT), jnp.float32),  # cbits
                 pltpu.VMEM((L, BT), jnp.float32),
+                # lazy-clone σ maps (dummy in fork mode / L=1)
+                pltpu.VMEM((L, n_sig, BT) if lazy else (1, 1, BT), jnp.float32),
             ],
         )
         bits_t, pass_t = pl.pallas_call(
@@ -493,6 +584,7 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
                 jax.ShapeDtypeStruct((1, B), jnp.int32),
             ],
             interpret=interpret,
+            **extra,
         )(
             *(jnp.asarray(p) for p in prefetch),
             llr_perm_t, jnp.asarray(Hc_perm),
@@ -515,8 +607,13 @@ def pac_list_decode_pallas(
     packed_sort: Optional[bool] = None,
     pair_unroll: bool = True,
     full_unroll: Optional[bool] = None,
+    lazy_clone: Optional[bool] = None,
 ) -> dict:
     """Fused-kernel PAC list decode.  llr: [B, N].
+
+    lazy_clone (default on for L > 1): σ-map path-origin composition at
+    forks instead of the physical clone-by-gather — bit-identical results
+    (see module docstring and ops/scl_pallas.py).
 
     Returns the fast-path subset: {"extracted" int8 [B, Kp] (ascending-u
     order, CRC-selected / best metric), "crc_pass" bool [B]}.
@@ -531,13 +628,20 @@ def pac_list_decode_pallas(
     if B % block_batch:
         raise ValueError(f"batch {B} must be a multiple of block_batch {block_batch}")
     mask = np.asarray(mask)
+    N = int(mask.size)
     if packed_sort is None:
         packed_sort = L >= 4  # same measured threshold as the SCL kernel
     if full_unroll is None:
-        full_unroll = not interpret  # interpret tracing ~3× slower unrolled
+        # interpret tracing ~3× slower unrolled; at N ≥ 256 the loop form
+        # amortizes dispatch over wider rows (device A/B 2026-08-21,
+        # results/bench_pac.md) — same crossover as the SCL kernel
+        full_unroll = not interpret and N <= 128
+    if lazy_clone is None:
+        lazy_clone = L > 1
     run = _build(
         tuple(int(x) for x in mask), tuple(gen), L, crc_len, crc_poly,
         block_batch, interpret, packed_sort, pair_unroll, full_unroll,
+        lazy_clone,
     )
     n = int(math.log2(mask.size))
     perm = np.array([bitreversed(j, n) for j in range(mask.size)])

@@ -71,3 +71,58 @@ def test_pac_kernel_rejects_bad_l(mask):
         pac_list_decode_pallas(llr, mask, GEN, 3, block_batch=B, interpret=True)
     with pytest.raises(ValueError):
         pac_list_decode_pallas(llr, mask, GEN, 16, block_batch=B, interpret=True)
+
+
+@pytest.mark.parametrize("lazy", [False, True])
+def test_pac_kernel_lazy_fork_equal(mask, lazy):
+    """σ-map lazy clone (round-4 port from the SCL kernel) must be
+    bit-identical to the physical fork-time clone-by-gather."""
+
+    llr = _frames(mask, seed=21)
+    ref = pac_list_decode_batch(
+        llr, mask, GEN, 4, crc_len=CRC_LEN, crc_poly=CRC_POLY, dtype=jnp.float32
+    )
+    out = pac_list_decode_pallas(
+        llr, mask, GEN, 4, crc_len=CRC_LEN, crc_poly=CRC_POLY,
+        block_batch=B, interpret=True, lazy_clone=lazy,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["extracted"]), np.asarray(ref["extracted"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["crc_pass"]), np.asarray(ref["crc_pass"])
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "N2,K2,L,crc_len,crc_poly,profile",
+    [
+        (128, 64, 8, 16, 0x1021, "dega"),
+        (256, 128, 4, 16, 0x1021, "pw"),
+    ],
+)
+def test_pac_kernel_largeN(N2, K2, L, crc_len, crc_poly, profile):
+    """PAC kernel at N ≥ 128 (VERDICT r3 #2): the legacy stack supports any
+    N via `rateprofile`; the kernel's schedule tables are generic — parity
+    vs the XLA decoder at the legacy simulator's CRC-16 0x1021."""
+
+    rp = rateprofile(N2, K2 + crc_len, 2.0, 0)
+    rp.build_mask(profile)
+    mask2 = rp.modify_profile()
+    rng = np.random.default_rng(N2)
+    llr = jnp.asarray(rng.normal(0, 3.0, size=(B, N2)), jnp.float32)
+    gen = (1, 0, 1, 1, 0, 1, 1)
+    ref = pac_list_decode_batch(
+        llr, mask2, gen, L, crc_len=crc_len, crc_poly=crc_poly, dtype=jnp.float32
+    )
+    out = pac_list_decode_pallas(
+        llr, mask2, gen, L, crc_len=crc_len, crc_poly=crc_poly,
+        block_batch=B, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["extracted"]), np.asarray(ref["extracted"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["crc_pass"]), np.asarray(ref["crc_pass"])
+    )
