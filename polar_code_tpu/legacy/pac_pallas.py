@@ -637,7 +637,12 @@ def pac_list_decode_pallas(
         # results/bench_pac.md) — same crossover as the SCL kernel
         full_unroll = not interpret and N <= 128
     if lazy_clone is None:
-        lazy_clone = L > 1
+        # device A/B 2026-08-21 (65536 frames/call, min-of-interleaved-
+        # rounds, results/bench_pac.md): lazy wins 1.30× at N=128 L=8 and
+        # 1.50× at N=256 L=8, but LOSES 5-7% at N=64 L≥4 — the fully-
+        # unrolled fork clone at N=64 is already minimal and the σ
+        # indirection on every g-read outweighs it.  L=1 never clones.
+        lazy_clone = L > 1 and N >= 128
     run = _build(
         tuple(int(x) for x in mask), tuple(gen), L, crc_len, crc_poly,
         block_batch, interpret, packed_sort, pair_unroll, full_unroll,

@@ -1166,11 +1166,17 @@ def kernel_fit_dtype(
 def _default_block(M: int, B: int, N: int = 128, K: int = 64) -> int:
     """Measured-best batch tile per list size (v5e, device-time resolution
     at 64k frames/call — dispatch-overhead-dominated 8k-batch timings had
-    favored wider tiles): M≤2 is phase-loop bound and profits from wider
-    tiles (M=1: 12.7M/s at BT=512 vs 9.3M at 128; M=2: 9.2M vs 8.1M);
-    M≥4 is clone/sort bound and wants BT=128 (M=4: 5.56M/s at 128 vs
-    4.50M at 256; M=8: 2.71M vs 1.52M).  Tiles that would exceed the VMEM
-    budget at this (N, K, M) are skipped."""
+    favored wider tiles).  All numbers below are N=128 kernel-only
+    decode rates from the 2026-08-19 BT sweep (`tools/ab_kernel.py`,
+    min-of-interleaved-rounds; bench.py's end-to-end sim+decode figure
+    and the KERNEL.md table are separate regimes — tunnel noise is
+    ±10-20%, so cross-regime numbers differ by up to that much):
+    M≤2 is phase-loop bound and profits from wider tiles (M=1: 12.7M/s
+    at BT=512 vs 9.3M at 128; M=2: 9.2M vs 8.1M); M≥4 is clone/sort
+    bound and wants BT=128 (M=4: 5.56M/s at 128 vs 4.50M at 256; M=8:
+    2.71M vs 1.52M).  Re-confirmed under lazy clone at N=512/1024
+    (2026-08-21: BT=256 is 1.76-2.2× WORSE at M=8, M=4 a wash).  Tiles
+    that would exceed the VMEM budget at this (N, K, M) are skipped."""
 
     prefs = {1: (512, 256, 128), 2: (512, 256, 128)}.get(M, (128,))
     for bt in prefs:

@@ -19,6 +19,9 @@ CONFIGS = [
     # larger-than-reference codes (5G-realistic sizes); loop-form schedule
     (256, 140, 2, "0x17", 2.0, 6),
     (512, 280, 1, "0x1864CFB", 2.0, 7),
+    # N=2048 (round-4 stretch): ~29 MB kernel state at M=8 fits the raised
+    # VMEM budget; schedule tables and σ maps are generic in n
+    (2048, 1024, 2, "0x1864CFB", 2.0, 8),
 ]
 
 
