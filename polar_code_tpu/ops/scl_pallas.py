@@ -1117,6 +1117,14 @@ def kernel_vmem_bytes(
         b += M * pad(2 * n - 1) * BT * 4    # σ maps
     else:
         b = 2 * (llr_planes + bit_planes)   # resident + clone temporaries
+    if bit_isz == 2:
+        # 16-bit planes pay f32-width conversion/tiling temporaries on
+        # every combine/store (calibrated twice: N=1024 M=8 lazy bf16
+        # needed 16.21 MB scoped vs 13.75 modeled without this term —
+        # tools/parity_onchip.py 2026-08-21 — and fork-mode bf16 read
+        # 19.0 MB vs 16.5 f32 in round 2); budget one f32 shadow of a
+        # full plane set
+        b += llr_planes
     b += 2 * pad(M) * BT * 4                        # pm + curidx
     b += 2 * K * pad(M) * BT * 4                    # tidx/tleaf
     if M > 1:
