@@ -297,7 +297,7 @@ def _decode_with_retries_compact(
     C = min(int(capacity), B)
     pos = jnp.arange(K)[None, :]
 
-    from ..ops.backend import make_scl_decoder
+    from ..ops.backend import make_scl_decoder, stable_partition_perm
 
     dec_full = make_scl_decoder(
         info_np, M, crc, batch=B, dtype=dtype, backend=backend, N=N
@@ -316,8 +316,9 @@ def _decode_with_retries_compact(
         done, best_bits, best_llrs, tried, attempts = carry
         active = ~done
         count = jnp.sum(active.astype(jnp.int32))
-        # stable sort of the done mask puts active frames first, in index order
-        order = jnp.argsort(done, stable=True).astype(jnp.int32)
+        # active frames first, in index order (≡ stable argsort of the
+        # done mask, via O(B) cumsums — see backend.stable_partition_perm)
+        order = stable_partition_perm(done)
         nchunks = (count + C - 1) // C
 
         def cond(c):

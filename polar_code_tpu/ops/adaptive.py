@@ -60,7 +60,11 @@ def decode_scl_adaptive(
     B, N = int(llr.shape[0]), int(llr.shape[1])
     K = int(info_np.size)
 
-    from .backend import auto_compact_capacity, make_scl_decoder
+    from .backend import (
+        auto_compact_capacity,
+        make_scl_decoder,
+        stable_partition_perm,
+    )
 
     dec1 = make_scl_decoder(
         info_np, M_first, crc, batch=B, dtype=dtype, backend=backend, N=N
@@ -92,8 +96,9 @@ def decode_scl_adaptive(
 
     done = ok
     count = jnp.sum((~done).astype(jnp.int32))
-    # stable sort of the pass mask puts failing frames first, in index order
-    order = jnp.argsort(done, stable=True).astype(jnp.int32)
+    # failing frames first, in index order (≡ stable argsort of the pass
+    # mask, via O(B) cumsums — see backend.stable_partition_perm)
+    order = stable_partition_perm(done)
     nchunks = (count + C - 1) // C
 
     def cond(c):

@@ -120,10 +120,39 @@ def auto_compact_capacity(compact: int, batch: int, multi: bool = False) -> int:
     return PALLAS_BLOCK if (on_tpu() and batch > PALLAS_BLOCK) else 0
 
 
+def stable_partition_perm(mask):
+    """Permutation putting mask==False elements first, stably — the exact
+    result of ``jnp.argsort(mask, stable=True)`` for a 1-D bool mask, in
+    O(B) cumsums instead of a comparator sort.
+
+    XLA's TPU sort is expensive even for 1-D bool keys (a 262144-element
+    stable bool argsort costs ~10 ms of VPU sort-network passes; the
+    retry-compaction loops pay it once per retry step).  The two cumsums +
+    one scatter below are bandwidth-bound and measure ~100× cheaper.
+    Used by the device-side compaction gathers (dlscl/flip.py,
+    ops/adaptive.py, train/make_dataset.py)."""
+
+    import jax.numpy as jnp
+
+    m = mask.astype(jnp.int32)
+    n_false = mask.size - jnp.sum(m)
+    # destination slot of each element: falses keep order at the front,
+    # trues keep order after every false
+    pos_true = n_false + jnp.cumsum(m) - 1
+    pos_false = jnp.cumsum(1 - m) - 1
+    dest = jnp.where(mask, pos_true, pos_false)
+    return (
+        jnp.zeros((mask.size,), jnp.int32)
+        .at[dest]
+        .set(jnp.arange(mask.size, dtype=jnp.int32), mode="drop")
+    )
+
+
 __all__ = [
     "resolve_backend",
     "on_tpu",
     "PALLAS_BLOCK",
     "make_scl_decoder",
     "auto_compact_capacity",
+    "stable_partition_perm",
 ]

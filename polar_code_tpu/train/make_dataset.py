@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 from pathlib import Path
 from typing import List
 
@@ -35,7 +36,7 @@ def _make_oracle_chunk(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.backend import make_scl_decoder
+    from ..ops.backend import make_scl_decoder, stable_partition_perm
 
     info_np = np.asarray(info_set)
     K = int(info_np.size)
@@ -93,7 +94,12 @@ def _make_oracle_chunk(
         best_bits, best_llrs, crc_pass = _decode_full(llr)
         fail = ~crc_pass
         abs_l0 = jnp.abs(best_llrs)  # [B, K]
-        order = jnp.argsort(abs_l0, axis=1)
+        # only the max_attempts smallest-|L0| indices are ever tried: top_k
+        # beats the full row argsort ~50× on TPU (23 vs 1145 ms at
+        # [8192, 512]; the full sort made N=1024 dataset generation
+        # argsort-bound).  top_k on the negated values yields ascending
+        # |L0| with the same lowest-index tie-break as a stable argsort.
+        order = jax.lax.top_k(-abs_l0, max_attempts)[1].astype(jnp.int32)
 
         if not C:
             found, label = _oracle_scan(llr, best_bits, order, _decode_full)
@@ -102,7 +108,7 @@ def _make_oracle_chunk(
             # fixed-capacity slabs on-device (same scheme as the retry
             # compaction in dlscl/flip.py), search, scatter labels back.
             count = jnp.sum(fail.astype(jnp.int32))
-            perm = jnp.argsort(~fail, stable=True).astype(jnp.int32)
+            perm = stable_partition_perm(~fail)
             nchunks = (count + C - 1) // C
 
             def cond(c):
@@ -180,6 +186,18 @@ def generate_samples(args: argparse.Namespace) -> None:
             abs_l0_samples.append(out["abs_l0"][i])
             labels.append(int(out["label"][i]))
 
+    t_start = time.perf_counter()
+    drained = 0
+
+    def progress():
+        dt = time.perf_counter() - t_start
+        print(
+            f"  {drained * batch}/{args.frames} frames, "
+            f"{len(labels)} labels, {failures} unrepaired, "
+            f"{drained * batch / dt:,.0f} frames/s",
+            flush=True,
+        )
+
     while frames_done < args.frames:
         take = min(batch, args.frames - frames_done)
         window.append((chunk_fn(fold_key(root_key, chunk_idx), noise_var), take))
@@ -188,8 +206,13 @@ def generate_samples(args: argparse.Namespace) -> None:
         if len(window) >= 16:
             out, take = window.pop(0)
             drain(jax.device_get(out), take)
+            drained += 1
+            if drained % 32 == 0:
+                progress()
     for out, take in window:
         drain(jax.device_get(out), take)
+        drained += 1
+    progress()
 
     if not abs_l0_samples:
         raise RuntimeError("No samples collected; consider increasing frames or SNR")
