@@ -31,7 +31,8 @@ from ..utils.seeding import fold_key, make_key, seed_all
 
 
 def _make_oracle_chunk(
-    cfg, info_set, M: int, batch: int, max_attempts: int, compact: int = 0
+    cfg, info_set, M: int, batch: int, max_attempts: int, compact: int = 0,
+    out_cap: int = 0,
 ):
     import jax
     import jax.numpy as jnp
@@ -42,6 +43,10 @@ def _make_oracle_chunk(
     K = int(info_np.size)
     B = batch
     C = min(int(compact), B) if compact else 0
+    # labeled-row output capacity: B/4 covers even the reference's
+    # highest-yield regime (M=1 at 5 dB labels ~19% of frames); the
+    # generator detects overflow per chunk and errors with guidance
+    out_cap = min(B, int(out_cap) if out_cap else max(256, B // 4))
 
     _decode_full = make_scl_decoder(
         info_np, M, cfg.crc_poly, batch=B, dtype=jnp.float32, N=cfg.N
@@ -132,11 +137,22 @@ def _make_oracle_chunk(
                 slab,
                 (jnp.int32(0), jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32)),
             )
+        # Compact the outputs on-device to the labeled rows only: the full
+        # [B, K] |L0| plane is dead weight for every unlabeled frame, and
+        # device→host bandwidth is the binding constraint on this loop
+        # (at B=32768, K=512 the uncompacted plane is 64 MB/chunk — the
+        # transfer alone ran the whole generator at ~7k frames/s; the
+        # compacted outputs are ~2 MB and the decode becomes the
+        # bottleneck again).
+        labeled = fail & found
+        lab_first = stable_partition_perm(~labeled)  # labeled frames first
+        sel = lab_first[:out_cap]
         return {
             "fail": fail,
-            "labeled": fail & found,
-            "label": label,
-            "abs_l0": abs_l0.astype(jnp.float32),
+            "n_labeled": jnp.sum(labeled.astype(jnp.int32)),
+            "lab_idx": sel,
+            "label": label[sel],
+            "abs_l0": abs_l0[sel].astype(jnp.float32),
         }
 
     return jax.jit(chunk)
@@ -166,6 +182,7 @@ def generate_samples(args: argparse.Namespace) -> None:
     chunk_fn = _make_oracle_chunk(
         cfg, info_set, args.M, batch, max_attempts,
         compact=auto_compact_capacity(args.compact, batch),
+        out_cap=getattr(args, "out_cap", 0),
     )
     root_key = make_key(args.seed)
 
@@ -178,13 +195,19 @@ def generate_samples(args: argparse.Namespace) -> None:
 
     def drain(out, take):
         nonlocal failures
-        fail = out["fail"][:take]
-        labeled = out["labeled"][:take]
-        failures += int(np.sum(fail & ~labeled))
-        sel = np.where(labeled)[0]
-        for i in sel:
-            abs_l0_samples.append(out["abs_l0"][i])
-            labels.append(int(out["label"][i]))
+        n_lab = int(out["n_labeled"])
+        if n_lab > out["lab_idx"].shape[0]:
+            raise RuntimeError(
+                f"labeled-row capacity overflow ({n_lab} > "
+                f"{out['lab_idx'].shape[0]}); raise --out_cap or lower "
+                f"--batch"
+            )
+        lab_idx = out["lab_idx"][:n_lab]
+        keep = lab_idx < take  # honor a partial tail chunk
+        failures += int(np.sum(out["fail"][:take])) - int(np.sum(keep))
+        for r in np.where(keep)[0]:
+            abs_l0_samples.append(out["abs_l0"][r])
+            labels.append(int(out["label"][r]))
 
     t_start = time.perf_counter()
     drained = 0
@@ -260,6 +283,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "--compact", type=int, default=-1,
         help="Oracle-search compaction capacity (−1 auto, 0 off): only "
              "baseline-failing frames go through the ≤8-attempt search",
+    )
+    parser.add_argument(
+        "--out_cap", type=int, default=0,
+        help="Labeled-row output capacity per chunk (0 auto = batch/4). "
+             "Only this many [K]-wide |L0| rows cross device→host per "
+             "chunk; at low-FER operating points a small cap (e.g. 1024) "
+             "cuts the transfer ~30×. Overflow raises with guidance.",
     )
     return parser
 

@@ -105,12 +105,14 @@ def test_dataset_oracle_compact_equals_masked():
         _make_oracle_chunk(cfg, info_set, 1, B, 8, compact=8)(key, nv)
     )
 
-    assert int(np.sum(masked["labeled"])) > 0  # non-trivial scenario
+    n = int(masked["n_labeled"])
+    assert n > 0  # non-trivial scenario
     np.testing.assert_array_equal(compact["fail"], masked["fail"])
-    np.testing.assert_array_equal(compact["labeled"], masked["labeled"])
-    sel = np.where(masked["labeled"])[0]
-    np.testing.assert_array_equal(compact["label"][sel], masked["label"][sel])
-    np.testing.assert_array_equal(compact["abs_l0"], masked["abs_l0"])
+    assert int(compact["n_labeled"]) == n
+    # compacted outputs: labeled frames first, in frame order
+    np.testing.assert_array_equal(compact["lab_idx"][:n], masked["lab_idx"][:n])
+    np.testing.assert_array_equal(compact["label"][:n], masked["label"][:n])
+    np.testing.assert_array_equal(compact["abs_l0"][:n], masked["abs_l0"][:n])
 
 
 def test_compact_rejects_sharded():
