@@ -1237,8 +1237,10 @@ def decode_scl_pallas(
 
     loop_unroll: phases per iteration of the (non-full-unroll) phase loop
     (power of two).  All but two dispatch points per block are static —
-    see the kernel body.  Default: 2 when pair_unroll (the historical
-    pair-unrolled loop), else 1.
+    see the kernel body.  Default (compiled): 32 for 128 < N < 2048; at
+    N ≥ 2048 the dispatch overhead dominates and the measured optima are
+    512 (M≥8) / 256 (M≤2) / 32 (M=4); interpret mode and N ≤ 128 keep
+    the cheap-tracing pair unroll (2), or 1 when pair_unroll=False.
 
     llr: [B, N] (B must be a multiple of `block_batch`).  Returns
     {"best_path_bits" int8 [B, K], "best_path_info_llrs" f32 [B, K],
@@ -1292,10 +1294,21 @@ def decode_scl_pallas(
         # M=8: 290 ms).  U=32 is within ~1% of best in every measured
         # cell and safely below the cliff.  Interpret mode keeps the
         # cheap-tracing pair unroll.
+        # N=2048 breaks the U=32-everywhere rule (2026-08-21 round-4
+        # sweep, 16384 frames/call, min-of-interleaved-rounds): the
+        # per-iteration dispatch overhead dominates the 2048-phase loop,
+        # and M=8 rises monotonically 52k→106k→131k→143k fps at
+        # U=32/128/256/512 (recovering the expected ~2× cost per N
+        # doubling vs N=1024's 324k), M≤2 peaks at U=256 (281k→666k fps),
+        # while M=4 still prefers U=32 (335k vs 269k at U=256).
         if not pair_unroll:
             loop_unroll = 1
+        elif interpret or N <= 128:
+            loop_unroll = 2
+        elif N >= 2048:
+            loop_unroll = 32 if M == 4 else (512 if M >= 8 else 256)
         else:
-            loop_unroll = 32 if (not interpret and N > 128) else 2
+            loop_unroll = 32
     if loop_unroll < 1 or (loop_unroll & (loop_unroll - 1)) or loop_unroll > N:
         raise ValueError("loop_unroll must be a power of two <= N")
     if B % block_batch:
