@@ -1,15 +1,22 @@
-"""OFDM LS channel-estimation demo (reference `ofdm_channel_estimation.py`).
+"""OFDM least-squares channel-estimation demo.
 
-Comb-type pilots, frequency-selective Rayleigh channel via FFT of random
-taps, least-squares estimation with linear interpolation; returns
-(channel MSE, BER).  The per-symbol Python loop of the reference is
-vectorized across all OFDM symbols at once.
+Same experiment as the reference's `ofdm_channel_estimation.py:49-90`:
+BPSK symbols on a comb-pilot OFDM grid, a frequency-selective Rayleigh
+channel drawn as the FFT of i.i.d. complex-Gaussian taps, LS estimation
+at the pilots with linear interpolation across the band, then one-tap
+equalization.  Returns ``(channel MSE, BER)``.
+
+The implementation is batch-first rather than per-symbol: linear
+interpolation is a fixed linear map from pilot estimates to the full
+band, so the whole Monte-Carlo reduces to a handful of [S, N] array ops
+and a single ``[S, P] @ [P, N]`` matmul — no Python loop over symbols.
+Host-side NumPy (this is a CPU demo in the reference, kept so here); the
+batched helpers also feed the coded pipeline in `crc_polar_ofdm_ls.py`.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
 
 import numpy as np
 
@@ -24,68 +31,75 @@ class OFDMSimulationConfig:
     seed: int | None = 0
 
     def pilot_indices(self) -> np.ndarray:
-        pilots = np.arange(0, self.num_subcarriers, self.pilot_spacing)
-        if pilots[-1] != self.num_subcarriers - 1:
-            pilots = np.append(pilots, self.num_subcarriers - 1)
-        return pilots
+        """Comb pattern: every ``pilot_spacing``-th carrier, and always the
+        band edge so interpolation never extrapolates."""
+        comb = np.arange(0, self.num_subcarriers, self.pilot_spacing)
+        last = self.num_subcarriers - 1
+        return comb if comb[-1] == last else np.append(comb, last)
 
 
 CONFIG = OFDMSimulationConfig()
 
 
 def generate_bpsk_symbols(size, rng: np.random.Generator) -> np.ndarray:
-    bits = rng.integers(0, 2, size=size)
-    return 1 - 2 * bits
+    return 1 - 2 * rng.integers(0, 2, size=size)
 
 
 def rayleigh_frequency_response(
     num_subcarriers: int, channel_taps: int, rng: np.random.Generator, count: int = 1
 ) -> np.ndarray:
-    """[count, num_subcarriers] random frequency-selective responses."""
+    """Draw ``count`` independent frequency responses, [count, N] complex.
 
-    taps = (
-        rng.normal(size=(count, channel_taps))
-        + 1j * rng.normal(size=(count, channel_taps))
-    ) / np.sqrt(2 * channel_taps)
-    impulse = np.zeros((count, num_subcarriers), dtype=np.complex128)
-    impulse[:, :channel_taps] = taps
-    return np.fft.fft(impulse, axis=-1)
+    Unit-average-power Rayleigh taps (variance 1/(2·taps) per real
+    component per tap), zero-padded to the band and DFT'd.
+    """
+    scale = np.sqrt(2.0 * channel_taps)
+    taps = rng.normal(size=(count, channel_taps)) / scale
+    taps = taps + 1j * (rng.normal(size=(count, channel_taps)) / scale)
+    return np.fft.fft(taps, n=num_subcarriers, axis=-1)
 
 
 def add_awgn(signal: np.ndarray, snr_db: float, rng: np.random.Generator) -> np.ndarray:
-    symbol_energy = np.mean(np.abs(signal) ** 2, axis=-1, keepdims=True)
-    snr_linear = 10 ** (snr_db / 10.0)
-    noise_variance = symbol_energy / snr_linear
-    noise = (
-        rng.normal(size=signal.shape) + 1j * rng.normal(size=signal.shape)
-    ) * np.sqrt(noise_variance / 2.0)
-    return signal + noise
+    """Complex AWGN scaled to the measured per-symbol energy (last axis)."""
+    n0 = np.mean(np.abs(signal) ** 2, axis=-1, keepdims=True) * 10.0 ** (-snr_db / 10.0)
+    w = rng.normal(size=signal.shape) + 1j * rng.normal(size=signal.shape)
+    return signal + w * np.sqrt(n0 / 2.0)
+
+
+def _interp_matrix(pilot_indices: np.ndarray, num_subcarriers: int) -> np.ndarray:
+    """[P, N] linear map: ``H_full = pilot_values @ W``.
+
+    Row weights are the hat functions of piecewise-linear interpolation on
+    the pilot grid, so a batch of pilot estimates interpolates across the
+    band in one matmul instead of per-symbol `np.interp` calls.
+    """
+    p = np.asarray(pilot_indices, dtype=np.float64)
+    carriers = np.arange(num_subcarriers, dtype=np.float64)
+    # segment j covers [p_j, p_{j+1}]; searchsorted gives the right endpoint
+    hi = np.clip(np.searchsorted(p, carriers, side="left"), 1, p.size - 1)
+    lo = hi - 1
+    frac = (carriers - p[lo]) / (p[hi] - p[lo])
+    # carriers sitting exactly on a pilot get weight 1 there
+    w = np.zeros((p.size, num_subcarriers))
+    cols = np.arange(num_subcarriers)
+    np.add.at(w, (lo, cols), 1.0 - frac)
+    np.add.at(w, (hi, cols), frac)
+    return w
 
 
 def ls_channel_estimate(
     transmitted: np.ndarray, received: np.ndarray, pilot_indices: np.ndarray
 ) -> np.ndarray:
-    """LS estimate at pilots + linear interpolation (supports [S, N] batches)."""
-
-    eps = 1e-12
+    """LS pilot division + linear interpolation; accepts [N] or [S, N]."""
     tx_p = transmitted[..., pilot_indices]
     rx_p = received[..., pilot_indices]
-    safe_tx = np.where(np.abs(tx_p) < eps, eps, tx_p)
-    pilot_est = rx_p / safe_tx
-    all_idx = np.arange(transmitted.shape[-1])
-    if transmitted.ndim == 1:
-        re = np.interp(all_idx, pilot_indices, pilot_est.real)
-        im = np.interp(all_idx, pilot_indices, pilot_est.imag)
-        return re + 1j * im
-    out = np.empty(transmitted.shape, dtype=np.complex128)
-    for s in range(transmitted.shape[0]):
-        out[s] = np.interp(all_idx, pilot_indices, pilot_est[s].real) + 1j * np.interp(
-            all_idx, pilot_indices, pilot_est[s].imag
-        )
-    return out
+    tiny = np.abs(tx_p) < 1e-12
+    at_pilots = rx_p / np.where(tiny, 1e-12, tx_p)
+    return at_pilots @ _interp_matrix(pilot_indices, transmitted.shape[-1])
 
 
-def simulate(config: OFDMSimulationConfig) -> Tuple[float, float]:
+def simulate(config: OFDMSimulationConfig) -> tuple:
+    """One vectorized Monte-Carlo pass; returns (channel MSE, BER)."""
     if config.num_subcarriers < 2:
         raise ValueError("num_subcarriers must be at least 2")
     if config.pilot_spacing < 1:
@@ -93,23 +107,25 @@ def simulate(config: OFDMSimulationConfig) -> Tuple[float, float]:
 
     rng = np.random.default_rng(config.seed)
     pilots = config.pilot_indices()
-    S, N = config.num_ofdm_symbols, config.num_subcarriers
+    shape = (config.num_ofdm_symbols, config.num_subcarriers)
 
-    tx = generate_bpsk_symbols((S, N), rng).astype(np.complex128)
-    tx[:, pilots] = generate_bpsk_symbols((S, pilots.size), rng)
+    # data everywhere, then overwrite the pilot carriers (both BPSK, drawn
+    # in the same order as the reference: data grid first, pilots second)
+    tx = generate_bpsk_symbols(shape, rng).astype(np.complex128)
+    tx[:, pilots] = generate_bpsk_symbols((shape[0], pilots.size), rng)
 
-    H = rayleigh_frequency_response(N, config.channel_taps, rng, count=S)
-    rx = add_awgn(H * tx, config.snr_db, rng)
+    channel = rayleigh_frequency_response(
+        config.num_subcarriers, config.channel_taps, rng, count=shape[0]
+    )
+    rx = add_awgn(channel * tx, config.snr_db, rng)
 
-    H_est = ls_channel_estimate(tx, rx, pilots)
-    channel_mse = float(np.mean(np.abs(H_est - H) ** 2))
+    estimate = ls_channel_estimate(tx, rx, pilots)
+    mse = float(np.mean(np.abs(estimate - channel) ** 2))
 
-    safe_est = np.where(np.abs(H_est) < 1e-12, 1e-12, H_est)
-    equalized = rx / safe_est
-    bits = (tx.real < 0).astype(int)
-    detected = (np.sign(equalized.real) < 0).astype(int)
-    ber = float(np.mean(bits != detected))
-    return channel_mse, ber
+    guarded = np.where(np.abs(estimate) < 1e-12, 1e-12, estimate)
+    hard = np.sign((rx / guarded).real) < 0
+    ber = float(np.mean(hard != (tx.real < 0)))
+    return mse, ber
 
 
 def main(config: OFDMSimulationConfig = CONFIG) -> None:

@@ -195,13 +195,20 @@ def generate_samples(args: argparse.Namespace) -> None:
 
     def drain(out, take):
         nonlocal failures
+        cap = out["lab_idx"].shape[0]
         n_lab = int(out["n_labeled"])
-        if n_lab > out["lab_idx"].shape[0]:
-            raise RuntimeError(
-                f"labeled-row capacity overflow ({n_lab} > "
-                f"{out['lab_idx'].shape[0]}); raise --out_cap or lower "
-                f"--batch"
-            )
+        if n_lab > cap:
+            # The compaction is a stable partition, so real frames
+            # (index < take) sort ahead of the padded tail of a partial
+            # final chunk.  Overflow can drop real rows only when the
+            # kept capacity is filled entirely by real frames; labeled
+            # padded-tail frames spilling past cap are harmless.
+            if int(np.sum(out["lab_idx"][:cap] < take)) == cap:
+                raise RuntimeError(
+                    f"labeled-row capacity overflow ({n_lab} > {cap}); "
+                    f"raise --out_cap or lower --batch"
+                )
+            n_lab = cap
         lab_idx = out["lab_idx"][:n_lab]
         keep = lab_idx < take  # honor a partial tail chunk
         failures += int(np.sum(out["fail"][:take])) - int(np.sum(keep))
@@ -211,13 +218,14 @@ def generate_samples(args: argparse.Namespace) -> None:
 
     t_start = time.perf_counter()
     drained = 0
+    frames_drained = 0
 
     def progress():
         dt = time.perf_counter() - t_start
         print(
-            f"  {drained * batch}/{args.frames} frames, "
+            f"  {frames_drained}/{args.frames} frames, "
             f"{len(labels)} labels, {failures} unrepaired, "
-            f"{drained * batch / dt:,.0f} frames/s",
+            f"{frames_drained / dt:,.0f} frames/s",
             flush=True,
         )
 
@@ -230,11 +238,13 @@ def generate_samples(args: argparse.Namespace) -> None:
             out, take = window.pop(0)
             drain(jax.device_get(out), take)
             drained += 1
+            frames_drained += take
             if drained % 32 == 0:
                 progress()
     for out, take in window:
         drain(jax.device_get(out), take)
         drained += 1
+        frames_drained += take
     progress()
 
     if not abs_l0_samples:
