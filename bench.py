@@ -6,7 +6,9 @@ M=8 P(128,64).  Subsequent lines track the rest of the perf story:
   * adaptive two-stage SCL (M_first=1 → M_final=8 on CRC failure, the
     modern form of the legacy re-decode scheme, reference
     `simulator.py:111-116`) at the same 5 dB operating point;
-  * large-N: SCL M=8 P(1024,512) through the fused kernel.
+  * large-N: SCL M=8 P(1024,512) through the fused kernel;
+  * largest shape: SCL M=8 P(2048,1024) through the fused kernel
+    (U=512 unroll default).
 
 Protocol (all lines): one jit-compiled Monte-Carlo step (payload → CRC-24
 → polar encode → BPSK → AWGN at 5 dB → decode → CRC select) generated
@@ -17,8 +19,10 @@ cache.  Throughput counts decoded frames, matching the reference's
 Baselines: the reference implementation (`/root/reference`,
 single-threaded NumPy `decode_scl`) measured on this machine's CPU —
 4.73 frames/s for M=8 P(128,64) (tools/time_reference.py, 2026-08-17)
-and 0.0656 frames/s for M=8 P(1024,512)
-(tools/time_reference_n1024.py, 2026-08-21, 15.25 s/frame).  `vs_baseline` is the
+0.0656 frames/s for M=8 P(1024,512)
+(tools/time_reference_n1024.py, 2026-08-21, 15.25 s/frame), and
+0.0261 frames/s for M=8 P(2048,1024)
+(tools/time_reference_n2048.py, 2026-08-21).  `vs_baseline` is the
 speedup over the like-for-like number — the BASELINE.json "≥100× decoded
 frames/s" target metric.  The adaptive line is compared against the
 reference's plain M=8 CPU decode: the adaptive scheme does the same
@@ -33,6 +37,8 @@ import time
 
 REF_CPU_M8_FPS = 4.73  # reference decode_scl, M=8, P(128,64), 1 CPU thread
 REF_CPU_M8_N1024_FPS = 0.0656  # reference decode_scl, M=8, P(1024,512)
+REF_CPU_M8_N2048_FPS = 0.02610  # reference decode_scl, M=8, P(2048,1024)
+# (tools/time_reference_n2048.py, 2026-08-21, 38.31 s/frame)
 
 
 def main() -> None:
@@ -50,6 +56,8 @@ def main() -> None:
     # large-N line: 65536 frames/call is the measured-plateau call size
     # for the N=1024 kernel (docs/KERNEL.md)
     parser.add_argument("--batch_n1024", type=int, default=65536)
+    # N=2048: 16384 frames/call (the round-4 unroll-sweep call size)
+    parser.add_argument("--batch_n2048", type=int, default=16384)
     args = parser.parse_args()
 
     import jax
@@ -156,7 +164,7 @@ def main() -> None:
     )
 
     # ---- large-N: SCL M=8 P(1024,512) through the fused kernel ----
-    def decode_n1024(llr, info_set):
+    def decode_kernel(llr, info_set):
         out = decode_scl_pallas(llr, np.asarray(info_set), args.M, cfg.crc_poly)
         return out["best_path_bits"], out["crc_pass"]
 
@@ -166,9 +174,17 @@ def main() -> None:
     # identical either way, but the CRC-sanity gate needs a working code.
     run_metric(
         f"scl_m{args.M}_n1024_sim_decode_frames_per_s",
-        make_step(1024, 512, args.batch_n1024, decode_n1024,
+        make_step(1024, 512, args.batch_n1024, decode_kernel,
                   method="gaussian_bitrev"),
         args.batch_n1024, max(2, args.iters // 2), REF_CPU_M8_N1024_FPS,
+    )
+
+    # ---- largest shape: SCL M=8 P(2048,1024), U=512 unroll default ----
+    run_metric(
+        f"scl_m{args.M}_n2048_sim_decode_frames_per_s",
+        make_step(2048, 1024, args.batch_n2048, decode_kernel,
+                  method="gaussian_bitrev"),
+        args.batch_n2048, max(2, args.iters // 4), REF_CPU_M8_N2048_FPS,
     )
 
 

@@ -496,7 +496,7 @@ def _build(mask_key, gen_key, L: int, crc_len: int, crc_poly: int, BT: int, inte
     mask_rev = mask[perm]
     info_phases = np.where(mask_rev == 1)[0]
     Kp = int(info_phases.size)
-    _, store, frozen, infoidx, llr_live, bit_live, glevel = _schedule_tables(
+    _, store, frozen, infoidx, llr_live, bit_live, glevel, _, _ = _schedule_tables(
         N, info_phases
     )
 

@@ -180,7 +180,38 @@ def _schedule_tables(N: int, info_np: np.ndarray):
             if upd[p, level] == 2:
                 need_bit.add(level)  # g reads stored left bits
 
-    return upd, store, frozen, infoidx, llr_live, bit_live, glevel
+    # --- σ fork-interval analysis (lazy clone, static schedules) -------
+    # A σ-gathered read needs its select tree only if a fork (info phase)
+    # can have occurred between the σ row's last reset (= its level's last
+    # write) and the read.  With the frozen mask a compile-time constant,
+    # this is decidable per read site by replaying the schedule with a
+    # fork counter.  gpar_need[p]: the scheduled g's parent-LLR read at
+    # phase p; comb_need[p, v]: the combine chain's left-bit read at level
+    # v during phase p's store (which runs post-fork of p itself).  The
+    # g's left-BIT read never crosses a fork (store at q → g at q+1, no
+    # fork between) and is dropped unconditionally in the kernel.
+    gpar_need = np.zeros(N, np.int32)
+    comb_need = np.zeros((N, n + 1), np.int32)
+    last_l = {lv: 0 for lv in range(1, n)}   # σ[sli(lv)] last reset
+    last_b = {lv: 0 for lv in range(1, n + 1)}  # σ[sbi(lv)] last reset
+    forks = 0
+    for p in range(N):
+        gl = int(glevel[p])
+        if gl > 1:
+            gpar_need[p] = int(last_l[gl - 1] < forks)
+        for lv in range((gl if gl > 0 else 1), n):
+            last_l[lv] = forks  # descent writes levels gl..n−1 (+ reset)
+        if not frozen[p]:
+            forks += 1
+        lvl, node = n, p
+        while lvl > 0 and node % 2 == 1:
+            comb_need[p, lvl] = int(last_b[lvl] < forks)
+            node //= 2
+            lvl -= 1
+        if lvl > 0:
+            last_b[lvl] = forks  # store (post-fork) resets σ[sbi(lvl)]
+
+    return upd, store, frozen, infoidx, llr_live, bit_live, glevel, gpar_need, comb_need
 
 
 def _softplus(x):
@@ -299,6 +330,7 @@ def _kernel_body(
     N: int, M: int, K: int, use_crc: bool, bit_dtype=jnp.float32,
     packed_sort: bool = True, loop_unroll: int = 2, static_tables=None,
     has_force: bool = True, lazy_clone: bool = True, gchunk: int = 128,
+    sigma_skip: bool = True,
 ):
     n = int(math.log2(N))
     BT = llr_ref.shape[1]
@@ -378,7 +410,7 @@ def _kernel_body(
             outs.append(vals[0])
         return jnp.stack(outs, axis=0)
 
-    def combine_store(cur0, s):
+    def combine_store(cur0, s, sneed=None):
         """XOR-combine chain from the leaf down to store level s.
 
         Small spans build the result as one concat value (cheapest — the
@@ -389,15 +421,26 @@ def _kernel_body(
         bounds the chain's stack temporaries (a [M, N/2, BT] concat value
         at the level-1 store is what pushed P(1024,512) M=8 past the
         scoped-VMEM cap).
+
+        `sneed` (static-schedule callers only): per-level booleans — σ
+        gather of the left-sibling read at level v is skipped when the
+        fork-interval analysis proves σ[sbi(v)] identity at this phase.
+        None = gather every read (dynamic dispatch).
         """
 
         if "propagate" in _ABLATE:
             return
+
+        def left_read(rows, level):
+            if sigma_skip and sneed is not None and not sneed[level]:
+                return rows
+            return sig_gather(rows, sbi(level))
+
         span = N >> s
         if span <= _GCHUNK:
             cur = cur0.astype(bit_dtype)  # 0/1 values: exact in bf16
             for level in range(n, s, -1):
-                left = sig_gather(bstate_ref[:, brows(level), :], sbi(level))
+                left = left_read(bstate_ref[:, brows(level), :], level)
                 xor = left + cur - jnp.asarray(2.0, bit_dtype) * left * cur
                 cur = jnp.concatenate([xor, cur], axis=1)
             bstate_ref[:, brows(s), :] = cur
@@ -409,9 +452,9 @@ def _kernel_body(
             for level in range(n, s, -1):
                 for c0 in range(0, L, _GCHUNK):
                     ch = min(_GCHUNK, L - c0)
-                    left = sig_gather(
+                    left = left_read(
                         bstate_ref[:, off[level] + c0 : off[level] + c0 + ch, :],
-                        sbi(level),
+                        level,
                     )
                     suf = bstate_ref[
                         :, o0 + span - L + c0 : o0 + span - L + c0 + ch, :
@@ -478,15 +521,31 @@ def _kernel_body(
     # unchunked combine value alone measured 16.5 MB scoped there).
     _GCHUNK = gchunk
 
-    def _apply_g(level, ret=False):
+    def _apply_g(level, ret=False, par_sigma=True):
+        # The left-bit read (`c`) NEVER goes through σ: the combine chain
+        # that stores level-l bits runs at phase q with trailing-ones(q)
+        # = n−l, post-fork, ending in sig_reset(sbi(l)); the g at level l
+        # that consumes them always runs at phase q+1 (ctz(q+1) = n−l)
+        # with no fork in between, so σ[sbi(l)] is identity at every
+        # scheduled g — for any frozen mask (verified by simulating the
+        # schedule: 0 of 2047 g-bit reads at N=2048 can cross a fork).
+        #
+        # `par_sigma`: whether the parent-LLR read can cross a fork
+        # boundary.  False when the caller proves σ[sli(level−1)] is
+        # identity — statically (full-unroll tables) or structurally (the
+        # leaf-level g under fork-time parent materialization, see
+        # info_leaf).
         if "fg" in _ABLATE:
             return jnp.zeros((M, N >> level, BT), jnp.float32) if ret else None
+        if not sigma_skip:
+            par_sigma = True  # A/B baseline: pre-skip behavior
         half = N >> level
         if not lazy or ret or half <= _GCHUNK:
-            a, b = _parent_halves(level, g_read=True)
-            c = sig_gather(bstate_ref[:, brows(level), :], sbi(level)).astype(
-                jnp.float32
-            )
+            a, b = _parent_halves(level, g_read=par_sigma)
+            c = bstate_ref[:, brows(level), :]
+            if not sigma_skip:
+                c = sig_gather(c, sbi(level))
+            c = c.astype(jnp.float32)
             g = b + (1.0 - 2.0 * c) * a
             if ret:
                 return g
@@ -500,16 +559,15 @@ def _kernel_body(
                     b = llr_ref[half + c0 : half + c0 + ch, :]
                 else:
                     p0 = off[level - 1]
-                    a = sig_gather(
-                        state_ref[:, p0 + c0 : p0 + c0 + ch, :], sli(level - 1)
-                    )
-                    b = sig_gather(
-                        state_ref[:, p0 + half + c0 : p0 + half + c0 + ch, :],
-                        sli(level - 1),
-                    )
-                c = sig_gather(
-                    bstate_ref[:, o0 + c0 : o0 + c0 + ch, :], sbi(level)
-                ).astype(jnp.float32)
+                    a = state_ref[:, p0 + c0 : p0 + c0 + ch, :]
+                    b = state_ref[:, p0 + half + c0 : p0 + half + c0 + ch, :]
+                    if par_sigma:
+                        a = sig_gather(a, sli(level - 1))
+                        b = sig_gather(b, sli(level - 1))
+                c = bstate_ref[:, o0 + c0 : o0 + c0 + ch, :]
+                if not sigma_skip:
+                    c = sig_gather(c, sbi(level))
+                c = c.astype(jnp.float32)
                 state_ref[:, o0 + c0 : o0 + c0 + ch, :] = b + (1.0 - 2.0 * c) * a
         if level < n:
             sig_reset(sli(level))
@@ -530,7 +588,11 @@ def _kernel_body(
         for g_level in range(1, gmax + 1):
             @pl.when(gl == g_level)
             def _(g_level=g_level):
-                _apply_g(g_level)
+                # level-n g: parent σ provably identity under even-fork
+                # materialization (this dynamic-dispatch form only carries
+                # the leaf branch in the plain loop, where every fork
+                # materializes)
+                _apply_g(g_level, par_sigma=g_level < n)
                 for level in range(g_level + 1, n + 1):
                     _apply_f(level)
 
@@ -542,7 +604,7 @@ def _kernel_body(
         pm_ref[...] = pm_ref[...] + pen
         store_fn(jnp.zeros((M, 1, BT), jnp.float32))
 
-    def info_leaf(phase, i, leaf, store_fn, live_static=None):
+    def info_leaf(phase, i, leaf, store_fn, live_static=None, mat_parent=False):
         # info: fork, stable top-M, clone-by-gather, record traces.
         # `i` is the info index (tracer from SMEM, or Python int when the
         # phase loop is fully unrolled); `live_static`, when given, is the
@@ -688,6 +750,22 @@ def _kernel_body(
                         ]
                     outs.append(vals[0])
                 sig_ref[...] = jnp.stack(outs, axis=0)
+                if mat_parent and sigma_skip and n >= 2:
+                    # Materialize LLR level n−1 (2 rows) through the fresh
+                    # σ and reset its row.  Every even phase rewrites level
+                    # n−1 (its descent always reaches it) with a σ reset,
+                    # so the only fork that can sit between that write and
+                    # the leaf-level g's parent read at the following odd
+                    # phase is the even phase's own — materializing here
+                    # makes σ[sli(n−1)] identity at EVERY leaf g, which
+                    # lets _apply_g(n) skip its M·(M−1)-select gather tree
+                    # unconditionally (callers pass par_sigma=False).
+                    # Odd-phase forks don't need this (level n−1 is dead
+                    # there — rewritten at the next even phase before any
+                    # read); callers with static phase parity skip it.
+                    rows = state_ref[:, lrows(n - 1), :]
+                    state_ref[:, lrows(n - 1), :] = sig_gather(rows, sli(n - 1))
+                    sig_reset(sli(n - 1))
             else:
                 do_gathers()
         pm_ref[...] = new_pm
@@ -700,10 +778,12 @@ def _kernel_body(
 
         store_fn(bit_all.reshape(M, 1, BT))
 
-    def leaf_step(phase, store_fn, leaf=None):
+    def leaf_step(phase, store_fn, leaf=None, mat_parent=True):
         # Dynamic-phase leaf decision: dispatch frozen/info from SMEM.
         # `leaf` is the threaded value when the phase's LLR update was
         # static; dynamically-dispatched updates leave it in state[n].
+        # `mat_parent`: even-fork parent materialization (see info_leaf);
+        # callers that know the phase is odd pass False.
         if leaf is None:
             leaf = state_ref[:, off[n] : off[n] + 1, :]  # [M, 1, BT]
         fz = frozen_ref[phase]
@@ -714,7 +794,8 @@ def _kernel_body(
 
         @pl.when(fz == 0)
         def _():
-            info_leaf(phase, infoidx_ref[phase], leaf, store_fn)
+            info_leaf(phase, infoidx_ref[phase], leaf, store_fn,
+                      mat_parent=mat_parent)
 
     def store_even(cur0):
         if "propagate" in _ABLATE:
@@ -727,8 +808,11 @@ def _kernel_body(
         # indices, and liveness are all compile-time constants, so every
         # loop iteration and schedule/liveness branch disappears — the
         # whole decode is straight-line Mosaic code.  Larger program
-        # (~N× the loop body) but no per-phase dispatch at all.
-        stat_frozen, stat_infoidx, stat_glevel, stat_store, stat_llr_live, stat_bit_live = static_tables
+        # (~N× the loop body) but no per-phase dispatch at all.  σ reads
+        # proven identity by the fork-interval tables skip their gather
+        # trees statically (no materialization needed in this mode).
+        (stat_frozen, stat_infoidx, stat_glevel, stat_store, stat_llr_live,
+         stat_bit_live, stat_gpar, stat_comb) = static_tables
 
         def static_spans(live_row):
             spans = []
@@ -744,22 +828,24 @@ def _kernel_body(
 
         for phase in range(N):
             gl = int(stat_glevel[phase])
+            par_sigma = bool(stat_gpar[phase]) or not sigma_skip
             if gl == n:
-                leaf = _apply_g(n, ret=True)
+                leaf = _apply_g(n, ret=True, par_sigma=par_sigma)
             else:
                 if gl > 0:
-                    _apply_g(gl)
+                    _apply_g(gl, par_sigma=par_sigma)
                 for level in range(gl + 1, n):
                     _apply_f(level)
                 leaf = _apply_f(n, ret=True)
 
             s_lvls = [s for s in range(1, n + 1) if stat_store[phase, s]]
             s = s_lvls[0] if s_lvls else None
+            sneed = [bool(x) for x in stat_comb[phase]]
 
-            def store_fn(cur0, s=s):
+            def store_fn(cur0, s=s, sneed=sneed):
                 if s is None:
                     return
-                combine_store(cur0, s)
+                combine_store(cur0, s, sneed=sneed)
 
             if stat_frozen[phase]:
                 frozen_leaf(leaf, store_fn)
@@ -788,9 +874,11 @@ def _kernel_body(
             leaf_step(base, store_even)
             for j in range(1, U):
                 p = base + j
+                even = j % 2 == 0  # phase parity is static (U is even)
                 gl = n - ((j & -j).bit_length() - 1)  # static: ctz(j) < u
                 if gl == n:
-                    leaf = _apply_g(n, ret=True)
+                    # parent σ provably identity: even forks materialize
+                    leaf = _apply_g(n, ret=True, par_sigma=False)
                 else:
                     _apply_g(gl)
                     for level in range(gl + 1, n):
@@ -801,7 +889,7 @@ def _kernel_body(
                     # cross into base's bits: store level stays dynamic
                     leaf_step(
                         p, lambda cur0, p=p: propagate(p, cur0, smax=n - u),
-                        leaf=leaf,
+                        leaf=leaf, mat_parent=even,
                     )
                 else:
                     ones = 0
@@ -810,13 +898,13 @@ def _kernel_body(
                         ones += 1
                         jj >>= 1
                     if ones == 0:
-                        leaf_step(p, store_even, leaf=leaf)
+                        leaf_step(p, store_even, leaf=leaf, mat_parent=even)
                     else:
                         s = n - ones
 
                         leaf_step(
                             p, lambda cur0, s=s: combine_store(cur0, s),
-                            leaf=leaf,
+                            leaf=leaf, mat_parent=even,
                         )
 
         jax.lax.fori_loop(0, N // U, u_body, None)
@@ -952,23 +1040,26 @@ def _build_kernel_for(
     info_key: Tuple[int, ...], N: int, M: int, crc: Optional[str], BT: int,
     interpret: bool, bit_dtype_name: str = "float32", packed_sort: bool = True,
     loop_unroll: int = 2, full_unroll: bool = False, has_force: bool = True,
-    lazy_clone: bool = True, gchunk: int = 128,
+    lazy_clone: bool = True, gchunk: int = 128, sigma_skip: bool = True,
 ):
     info_np = np.asarray(info_key, dtype=np.int64)
     K = int(info_np.size)
     n = int(math.log2(N))
-    upd, store, frozen, infoidx, llr_live, bit_live, glevel = _schedule_tables(N, info_np)
+    (upd, store, frozen, infoidx, llr_live, bit_live, glevel,
+     gpar_need, comb_need) = _schedule_tables(N, info_np)
     Hc = np.asarray(check_matrix(crc, K)) if crc is not None else None
     n_state = N - 1
     bit_dtype = jnp.dtype(bit_dtype_name)
 
     static_tables = (
-        (frozen, infoidx, glevel, store, llr_live, bit_live) if full_unroll else None
+        (frozen, infoidx, glevel, store, llr_live, bit_live, gpar_need,
+         comb_need) if full_unroll else None
     )
     kernel = functools.partial(
         _kernel_body, N=N, M=M, K=K, use_crc=crc is not None, bit_dtype=bit_dtype,
         packed_sort=packed_sort, loop_unroll=loop_unroll, static_tables=static_tables,
         has_force=has_force, lazy_clone=lazy_clone, gchunk=gchunk,
+        sigma_skip=sigma_skip,
     )
 
     dummy = np.zeros(1, np.int32)
@@ -1208,6 +1299,7 @@ def decode_scl_pallas(
     loop_unroll: Optional[int] = None,
     full_unroll: Optional[bool] = None,
     lazy_clone: Optional[bool] = None,
+    sigma_skip: bool = True,
 ) -> dict:
     """Fused-kernel SCL decode of a batch.
 
@@ -1227,6 +1319,14 @@ def decode_scl_pallas(
     (measured +6-9% for M≥2 over the pair-unrolled `fori_loop` at N=128;
     ~46 s first compile at M=8 vs ~8 s, amortized by the persistent
     compile cache).
+
+    sigma_skip (default on): drop σ-gather trees that the schedule proves
+    are identity — the g-update's left-bit read always (its store runs
+    post-fork at the immediately preceding phase), the leaf-level g's
+    parent read via even-fork materialization of the two level-(n−1) LLR
+    rows, and (full-unroll mode) any read whose fork-interval table entry
+    is clear.  Bit-identical to ``sigma_skip=False`` (the round-4
+    behavior, kept for A/B benchmarking).
 
     bit_dtype: storage dtype of the partial-sum planes.  They hold 0/1
     values only, so ``jnp.bfloat16`` is numerically EXACT (decisions are
@@ -1329,7 +1429,7 @@ def decode_scl_pallas(
     run = _build_kernel_for(
         tuple(int(x) for x in info_np), N, M, crc, block_batch, interpret,
         jnp.dtype(bit_dtype).name, packed_sort, loop_unroll, full_unroll,
-        has_force, lazy_clone, gchunk,
+        has_force, lazy_clone, gchunk, sigma_skip,
     )
     llr_t = llr.T.astype(jnp.float32)  # [N, B]
     if has_force:

@@ -22,6 +22,11 @@ CONFIGS = [
     # N=2048 (round-4 stretch): ~29 MB kernel state at M=8 fits the raised
     # VMEM budget; schedule tables and σ maps are generic in n
     (2048, 1024, 2, "0x1864CFB", 2.0, 8),
+    # the shipped N>=2048 unroll defaults differ per M (U=32 at M<=4,
+    # U=512 at M>=8, `ops/scl_pallas.py`); cover both list widths so every
+    # shipped (N, M) pairing has CPU bit-parity evidence (VERDICT r4 #2)
+    pytest.param(2048, 1024, 4, "0x1864CFB", 2.0, 9, marks=pytest.mark.slow),
+    pytest.param(2048, 1024, 8, "0x1864CFB", 2.0, 10, marks=pytest.mark.slow),
 ]
 
 

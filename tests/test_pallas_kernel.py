@@ -165,6 +165,28 @@ def test_kernel_clone_modes_bit_identical(info_set, M, full_unroll):
     )
 
 
+@pytest.mark.parametrize("M", [2, 8])
+@pytest.mark.parametrize("full_unroll", [False, True])
+def test_kernel_sigma_skip_modes_bit_identical(info_set, M, full_unroll):
+    """σ-gather elision (schedule-proven identity reads + even-fork parent
+    materialization; static fork-interval tables under full_unroll) must be
+    bit-identical to the round-4 gather-everything behavior."""
+
+    llr = _llrs(seed=77 + M, scale=2.0)
+    fast = decode_scl_pallas(
+        llr, info_set, M, CRC, block_batch=B, interpret=True,
+        full_unroll=full_unroll, sigma_skip=True,
+    )
+    slow = decode_scl_pallas(
+        llr, info_set, M, CRC, block_batch=B, interpret=True,
+        full_unroll=full_unroll, sigma_skip=False,
+    )
+    for k in ("best_path_bits", "crc_pass", "best_path_info_llrs"):
+        np.testing.assert_array_equal(
+            np.asarray(fast[k]), np.asarray(slow[k]), err_msg=k
+        )
+
+
 def test_kernel_large_n_lazy_matches_xla():
     """One wide-code interpret check: N=512 exercises the 128-row-chunked
     g-updates (level-1 span 256) and the multi-chunk syndrome backtrack
