@@ -27,6 +27,10 @@ CONFIGS = [
     # shipped (N, M) pairing has CPU bit-parity evidence (VERDICT r4 #2)
     pytest.param(2048, 1024, 4, "0x1864CFB", 2.0, 9, marks=pytest.mark.slow),
     pytest.param(2048, 1024, 8, "0x1864CFB", 2.0, 10, marks=pytest.mark.slow),
+    # N=4096 (round-5 stretch): ~56 MB modeled kernel state at M=8 fits the
+    # 96 MiB budget (`kernel_vmem_bytes`); schedule tables / σ maps generic
+    pytest.param(4096, 2048, 4, "0x1864CFB", 2.0, 11, marks=pytest.mark.slow),
+    pytest.param(4096, 2048, 8, "0x1864CFB", 2.0, 12, marks=pytest.mark.slow),
 ]
 
 
